@@ -1,0 +1,100 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All JVM-side Catalyst expressions (no Python in the hot path): language-ID
+heuristic, quality scoring, token counting, and document fingerprinting over
+a ``documents``-shaped table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small stopword lists for the n-gram/stopword language heuristic.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate subword count: words + punctuation runs, each long word
+    counted as ceil(len/4) pieces (a BPE-ish regex heuristic, cheap and
+    deterministic — good enough for per-doc budget accounting)."""
+    words = tokens(text)
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("bigint"),
+    )
+    return pieces
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many of the language's stopwords occur as words in the text."""
+    words = _STOPWORDS[lang]
+    lowered = F.lower(text)
+    hit = F.lit(0)
+    for w in words:
+        hit = hit + F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0)
+    return hit
+
+
+def detect_lang(text: Column) -> Column:
+    """Argmax of per-language stopword hits; 'und' (undetermined) if all zero."""
+    scores = [(lang, stopword_hits(text, lang)) for lang in _STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang, score in scores:
+        expr = expr.when(score == best, F.lit(lang))
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w).cast("bigint")
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] doc-quality heuristic: length band + punctuation band + word-length
+    band — the standard pre-training filter shape (length/punct/stopword
+    ratios), all Catalyst-native."""
+    n_tokens = token_count(text)
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    return (length_ok + punct_ok + word_ok) / F.lit(3.0)
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) for Jaccard/MinHash dedup."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))

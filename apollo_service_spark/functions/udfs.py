@@ -1,0 +1,37 @@
+"""Arrow-vectorized pandas UDFs — the only Python in the hot path.
+
+Two genuinely non-SQL-expressible kernels cross the Arrow boundary
+(everything else in the engine is a Catalyst column expression):
+
+* ``extract_text_udf``  — HTML→markdown extraction, semantics of the
+  reference extractor (`scraper.py:211-292`), byte-identical per row with the
+  in-repo oracle because both call ``functions.html.extract_text``.
+* ``extract_links_udf`` — a[href] link extraction + urljoin + fragment strip
+  (`apollo.py:359-371`), returning array<string> that callers ``explode``.
+
+Batch sizing is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(set in ``session.build_session``); the per-row functions are pure so the
+kernels are embarrassingly parallel across Arrow batches and executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .html import extract_links, extract_text_only
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_only)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links(h, b) for h, b in zip(html, base_url)],
+        index=html.index,
+        dtype=object,
+    )

@@ -1,0 +1,278 @@
+"""Catalyst-native URL column expressions.
+
+Every filter / predicate / categorizer from the reference's hand-rolled
+per-row Python becomes a pure column expression here, so Catalyst can push it
+into the scan, fold constants, and keep it inside whole-stage codegen:
+
+* ignore-pattern filter      — reference `apollo.py:67-76`, applied `:228-232`
+* domain restriction         — `apollo.py:235-237`
+* document-URL predicate     — `apollo.py:127`, `:354-357`
+* link categorizer (CASE)    — `link_processor.py:89-100` (order-sensitive)
+* year extractor             — `year_extractor.py:61-106` (precedence:
+                               filename → query-param values → path)
+* URL component extraction   — `url_clusterer.py:62-87`
+* path-prefix truncation     — `url_clusterer.py:69-76`
+
+Python-side mirror functions (``*_py``) implement identical semantics on
+plain strings; the oracle simulator and property tests use them so the
+distributed plan and the single-process reference can only diverge in the
+plan itself, never in predicate semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Patterns (verbatim reference semantics)
+# --------------------------------------------------------------------------
+
+IGNORE_PATTERNS = [
+    r"logout",
+    r"login",
+    r"signin",
+    r"signout",
+    r"\.(zip|rar|exe|dmg|jpeg|png|gif|mov|jpg|mp3|m4v|avi|mp4|aspx)$",
+    r"\.jpg",
+    r"/404$",
+]
+
+DOCUMENT_EXTENSIONS = [
+    ".pdf", ".doc", ".docx", ".xls", ".xlsx",
+    ".ppt", ".pptx", ".txt", ".rtf", ".csv",
+]
+
+FILE_EXTENSIONS = [
+    "pdf", "xls", "xlsx", "doc", "docx", "ppt", "pptx",
+    "csv", "txt", "rtf", "zip", "rar", "tar", "gz", "xlsb",
+]
+
+SOCIAL_MEDIA_KEYWORDS = [
+    "instagram", "facebook", "linkedin", "twitter", "tiktok",
+    "youtube", "apps.google", "appstore", "play.google", "app.apple",
+]
+
+BANK_KEYWORDS = ["bafl", "falah"]
+
+YEAR_PATTERN = r"(?:19|20)\d{2}"
+
+_FILE_RE = r"\.(" + "|".join(FILE_EXTENSIONS) + r")($|\?)"
+_SOCIAL_RE = "(" + "|".join(SOCIAL_MEDIA_KEYWORDS) + ")"
+_BANK_RE = "(" + "|".join(BANK_KEYWORDS) + ")"
+
+# Java regex with embedded case-insensitivity for rlike
+_CI = "(?i)"
+
+
+# --------------------------------------------------------------------------
+# Component extraction
+# --------------------------------------------------------------------------
+
+
+def url_host(url: Column) -> Column:
+    """netloc, as `urlparse(url).netloc` (host[:port], lowercased scheme-free)."""
+    return F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
+
+
+def url_path(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def url_query(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+
+
+def url_filename(url: Column) -> Column:
+    """basename of the path (year_extractor.py:93)."""
+    return F.element_at(F.split(url_path(url), "/"), -1)
+
+
+def strip_fragment(url: Column) -> Column:
+    """`url.split('#')[0]` (apollo.py:367)."""
+    return F.split_part(url, F.lit("#"), F.lit(1))
+
+
+def canonicalize(url: Column) -> Column:
+    """Lowercase scheme+host, strip fragment and default port.
+
+    The scale-path canonical form used for hashing/partitioning the seen set.
+    """
+    no_frag = strip_fragment(F.trim(url))
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.lower(url_host(no_frag))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    return F.when(
+        scheme.isin("http", "https") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, rest),
+    ).otherwise(no_frag)
+
+
+def url_hash(url: Column, salt: int = 0) -> Column:
+    """64-bit salted hash of the canonical url — seen-set partition key."""
+    return F.xxhash64(url, F.lit(salt))
+
+
+def host_salted_partition(host: Column, n_partitions: int, salt: int = 0) -> Column:
+    """Deterministic host partition id; salted to decorrelate from other runs."""
+    return F.pmod(F.xxhash64(host, F.lit(salt)), F.lit(n_partitions))
+
+
+def path_prefix(path: Column, depth: int = 2) -> Column:
+    """Truncate to the first `depth` non-empty path components.
+
+    Matches `url_clusterer.extract_url_components` (url_clusterer.py:62-87):
+    rstrip('/'), split, drop empties, keep first `depth`, '/'-join with
+    leading '/', '/' for empty.
+    """
+    parts = F.filter(F.split(F.regexp_replace(path, "/+$", ""), "/"), lambda p: p != "")
+    if depth > 0:
+        parts = F.slice(parts, 1, depth)
+    return F.when(F.size(parts) > 0, F.concat(F.lit("/"), F.array_join(parts, "/"))).otherwise(
+        F.lit("/")
+    )
+
+
+# --------------------------------------------------------------------------
+# Predicates / filters
+# --------------------------------------------------------------------------
+
+
+def is_ignored(url: Column, extra_patterns: list | None = None) -> Column:
+    """True when any ignore pattern matches (case-insensitive search)."""
+    patterns = IGNORE_PATTERNS + list(extra_patterns or [])
+    cond = F.lit(False)
+    for pat in patterns:
+        cond = cond | url.rlike(_CI + pat)
+    return cond
+
+
+def in_domain(url: Column, base_host: str) -> Column:
+    """Domain restriction (apollo.py:235-237): netloc equality, exact."""
+    return url_host(url) == F.lit(base_host)
+
+
+def is_document_url(url: Column) -> Column:
+    """Path (lowercased) ends with one of the 10 document extensions."""
+    ext_re = "|".join(e.lstrip(".") for e in DOCUMENT_EXTENSIONS)
+    return F.lower(url_path(url)).rlike(r"\.(" + ext_re + r")$")
+
+
+def categorize(url: Column) -> Column:
+    """Order-sensitive CASE (link_processor.py:89-100):
+
+    social-media keyword → 'social_media'; else no bank keyword → 'misc';
+    else file extension → 'file'; else 'bank'.
+    """
+    return (
+        F.when(url.rlike(_CI + _SOCIAL_RE), F.lit("social_media"))
+        .when(~url.rlike(_CI + _BANK_RE), F.lit("misc"))
+        .when(url.rlike(_CI + _FILE_RE), F.lit("file"))
+        .otherwise(F.lit("bank"))
+    )
+
+
+def extract_year(url: Column) -> Column:
+    """Year precedence (year_extractor.py:90-106):
+
+    first (19|20)\\d{2} in the path basename, else in any query-param value,
+    else anywhere in the path, else "No Year".
+    """
+    path = url_path(url)
+    filename = F.element_at(F.split(path, "/"), -1)
+    query = url_query(url)
+    # all '=value' parts of the query, in order — first match wins
+    qvals = F.array_join(
+        F.transform(
+            F.filter(F.split(query, "&"), lambda kv: kv != ""),
+            lambda kv: F.when(
+                kv.contains("="), F.substring_index(kv, "=", -1)
+            ).otherwise(F.lit("")),
+        ),
+        " ",
+    )
+    fy = F.regexp_extract(filename, YEAR_PATTERN, 0)
+    qy = F.regexp_extract(qvals, YEAR_PATTERN, 0)
+    py = F.regexp_extract(path, YEAR_PATTERN, 0)
+    return (
+        F.when(fy != "", fy)
+        .when(qy != "", qy)
+        .when(py != "", py)
+        .otherwise(F.lit("No Year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Python-side mirrors (oracle simulator + property tests)
+# --------------------------------------------------------------------------
+
+_IGNORE_COMPILED = [re.compile(p, re.IGNORECASE) for p in IGNORE_PATTERNS]
+_FILE_COMPILED = re.compile(_FILE_RE, re.IGNORECASE)
+_SOCIAL_COMPILED = re.compile(_SOCIAL_RE, re.IGNORECASE)
+_BANK_COMPILED = re.compile(_BANK_RE, re.IGNORECASE)
+_YEAR_COMPILED = re.compile(YEAR_PATTERN)
+
+
+def is_ignored_py(url: str, extra_patterns: list | None = None) -> bool:
+    pats = _IGNORE_COMPILED + [
+        re.compile(p, re.IGNORECASE) for p in (extra_patterns or [])
+    ]
+    return any(p.search(url) for p in pats)
+
+
+def is_document_url_py(url: str) -> bool:
+    path = urlparse(url).path.lower()
+    return any(path.endswith(ext) for ext in DOCUMENT_EXTENSIONS)
+
+
+def categorize_py(url: str) -> str:
+    if _SOCIAL_COMPILED.search(url):
+        return "social_media"
+    if not _BANK_COMPILED.search(url):
+        return "misc"
+    if _FILE_COMPILED.search(url):
+        return "file"
+    return "bank"
+
+
+def extract_year_py(url: str) -> str:
+    import os.path
+
+    parsed = urlparse(url)
+    m = _YEAR_COMPILED.search(os.path.basename(parsed.path))
+    if m:
+        return m.group()
+    if parsed.query:
+        for _param, values in parse_qs(parsed.query).items():
+            for value in values:
+                m = _YEAR_COMPILED.search(value)
+                if m:
+                    return m.group()
+    if parsed.path:
+        m = _YEAR_COMPILED.search(parsed.path)
+        if m:
+            return m.group()
+    return "No Year"
+
+
+def canonicalize_py(url: str) -> str:
+    url = url.strip().split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)(.*)$", url, re.DOTALL)
+    if not m:
+        return url
+    scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    if scheme not in ("http", "https") or not host:
+        return url
+    host = re.sub(r":(80|443)$", "", host)
+    return f"{scheme}://{host}{rest}"
+
+
+def path_prefix_py(path: str, depth: int = 2) -> str:
+    parts = [p for p in path.rstrip("/").split("/") if p]
+    if depth > 0:
+        parts = parts[:depth]
+    return "/" + "/".join(parts) if parts else "/"

@@ -1,0 +1,217 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+* **exact** — fingerprint (xxhash64 of normalized text) groupBy; one shuffle
+  on a 64-bit key, keep min doc_id per group.
+* **MinHash + LSH** — shingle → k minhashes (JVM-side: xxhash64 per
+  permutation-salt, `F.array_min`) → band buckets → self-join *within
+  buckets only* (the LSH trick: candidate pairs ∝ collisions, not n²) →
+  exact Jaccard verify on the candidates.
+* **SimHash** — 64-bit sign-sum of per-token hashes (vectorized via
+  higher-order array functions); near-dups = identical simhash or Hamming
+  distance ≤ r via band rotation.
+* **embedding cosine** — see similarity.py; near-dup = cosine ≥ threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textstats
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per normalized-text fingerprint."""
+    fp = docs.select(
+        F.col(id_col), textstats.fingerprint(F.col(text_col)).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, n_dups, doc_ids) for every fingerprint with more than one doc."""
+    fp = docs.select(
+        F.col(id_col), textstats.fingerprint(F.col(text_col)).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(text_col, n_hashes: int = 32, shingle_n: int = 3):
+    """array<bigint> of n_hashes minhash values, all JVM-side."""
+    sh = textstats.shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by exact shingle
+    Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+        textstats.shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.col("sig").isNotNull())
+
+    # band key = hash of the band's slice of the signature
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index
+    (explode → self-join on shingle → count ÷ union). Quadratic only within a
+    shingle's posting list — the exact-verification baseline for LSH."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(textstats.shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    pairs = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(text_col) -> object:
+    """64-bit simhash: sign-sum over per-token xxhash64 bits, vectorized with
+    higher-order array functions (no Python)."""
+    toks = F.array_distinct(textstats.tokens(F.lower(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit position, count tokens with the bit set; bit in result if
+    # count*2 > n_tokens
+    bit_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint")),
+        ),
+    )
+    n = F.size(toks)
+    word = F.aggregate(
+        F.zip_with(
+            bit_counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda cnt, b: F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return F.when(n > 0, word)
+
+
+def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical 64-bit simhash (strong near-dup signal)."""
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n") > 1)
+    )

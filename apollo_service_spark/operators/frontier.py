@@ -1,0 +1,345 @@
+"""The distributed URL-frontier + fetch scheduler (the engine core).
+
+Reimplements the reference's 20-thread BFS crawler
+(`apollo.py:393-652`, `:724-801`) as deterministic Spark supersteps. One
+iteration of the driver loop is one Spark job:
+
+1. **batch select** — per-host politeness budget via window ranking
+   (politeness.py); carryover stays in the frontier.
+2. **fetch** — ``batch LEFT JOIN pages ON url`` (the table-driven analog of
+   the HTTP GET at `apollo.py:493`); a missing row is a fetch error, a row
+   with NULL html is non-HTML content (no link expansion, `apollo.py:549-555`).
+3. **expand** — ``extract_links_udf`` (Arrow) → ``explode`` → canonicalize →
+   ignore-pattern / domain / document filters (urlkit, Catalyst-native) →
+   robots broadcast gate (robots.py).
+4. **dedup** — bloom pre-filter (bloom.py) then exact
+   ``LEFT ANTI JOIN`` against the accumulated seen set, then against the
+   carryover frontier (reference double-check under lock, `apollo.py:592-604`).
+5. **commit** — frontier, seen delta, crawl log, per-partition lineage and
+   iteration metrics land in one SnapshotStore commit; a crawl resumes
+   mid-frontier from the latest committed iteration.
+
+Determinism: every ordering in the loop is a total order (depth, url), so
+given the same seeds + politeness budgets the engine reproduces the canonical
+crawl ordering exactly (verified against oracle/simulator.py). Every
+DataFrame crossing iterations round-trips through parquet, which truncates
+lineage — no logical-plan growth across supersteps (SURVEY.md §7 risk 3).
+
+Scale notes: the frontier and seen tables are hash-partitioned by salted host
+(`host_salted_partition`) so one mega-host cannot pin a partition; the
+politeness budget itself bounds any host's per-iteration batch; robots and
+politeness dims are broadcast; AQE handles residual skew in the anti-join.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urlkit
+from ..functions.udfs import extract_links_udf
+from ..sources.storage import SnapshotStore
+from . import politeness as politeness_ops
+from . import robots as robots_ops
+from .bloom import build_bloom, split_by_bloom
+
+
+@dataclass
+class CrawlConfig:
+    base_host: str | None = None          # None ⇒ no domain restriction
+    depth_limit: int | None = None        # None ⇒ unlimited (ref float('inf'))
+    max_pages: int | None = None
+    max_links: int | None = None
+    default_budget: int = 4
+    extra_ignore_patterns: list = field(default_factory=list)
+    respect_robots: bool = True
+    n_partitions: int = 32
+    salt: int = 42
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    bloom_min_seen: int = 10_000          # below this the exact join is cheap
+    max_iterations: int = 1000
+
+
+@dataclass
+class CrawlResultState:
+    iterations: int
+    pages_fetched: int
+    links_processed: int
+    stopped_reason: str
+
+
+_FRONTIER_SCHEMA = ["url", "host", "depth"]
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        store: SnapshotStore,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+        politeness: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.store = store
+        # pages is scanned once per iteration with an equi-join on url;
+        # pre-partition by the join key so every superstep reuses the layout.
+        self.pages = pages.repartition(self.config.n_partitions, "url")
+        self.robots_agg = (
+            robots_ops.aggregate_rules(robots)
+            if (robots is not None and self.config.respect_robots)
+            else None
+        )
+        self.politeness = politeness
+
+    # ------------------------------------------------------------------ init
+
+    def _init_frontier(self, seeds: DataFrame) -> DataFrame:
+        canon = urlkit.canonicalize(F.col("url"))
+        return (
+            seeds.select(canon.alias("url"))
+            .withColumn("host", urlkit.url_host(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .dropDuplicates(["url"])
+        )
+
+    def _repartition_state(self, df: DataFrame) -> DataFrame:
+        return df.repartition(
+            self.config.n_partitions,
+            urlkit.host_salted_partition(
+                F.col("host"), self.config.n_partitions, self.config.salt
+            ),
+        )
+
+    # ------------------------------------------------------------------ steps
+
+    def _expand(self, fetched: DataFrame, seen: DataFrame, exclude: DataFrame) -> DataFrame:
+        """New frontier candidates from this batch's pages.
+
+        ``exclude`` is the union of the carryover frontier and this
+        iteration's scheduled batch — the reference's visited-set membership
+        includes in-flight URLs (`apollo.py:442-452`), so links back to a
+        just-fetched page must not re-enter the frontier.
+        """
+        cfg = self.config
+        expandable = fetched.filter(F.col("html").isNotNull())
+        if cfg.depth_limit is not None:
+            expandable = expandable.filter(F.col("depth") < F.lit(cfg.depth_limit))
+
+        links = (
+            expandable.select(
+                F.col("depth"),
+                F.explode(
+                    extract_links_udf(F.col("html"), F.col("url"))
+                ).alias("raw_link"),
+            )
+            .select(
+                urlkit.canonicalize(F.col("raw_link")).alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .withColumn("host", urlkit.url_host(F.col("url")))
+        )
+
+        links = links.filter(
+            ~urlkit.is_ignored(F.col("url"), cfg.extra_ignore_patterns)
+        )
+        if cfg.base_host is not None:
+            links = links.filter(F.col("host") == F.lit(cfg.base_host))
+        links = links.withColumn("path", urlkit.url_path(F.col("url")))
+        links = robots_ops.robots_allow(links, self.robots_agg).drop("path")
+
+        # links_processed counter (reference apollo.py:573-574) counts the
+        # post-filter, pre-dedup links — materialize the count via agg later.
+        links = links.groupBy("url", "host").agg(F.min("depth").alias("depth"))
+
+        # dedup vs seen (bloom pre-filter + exact anti-join), then vs frontier
+        seen_count = seen.count()
+        if (
+            cfg.use_bloom
+            and seen_count >= cfg.bloom_min_seen
+        ):
+            bloom = build_bloom(seen, "url", n_items=max(seen_count, 1), fpp=cfg.bloom_fpp)
+            definitely_new, maybe_seen = split_by_bloom(
+                self.spark, links, "url", bloom
+            )
+            checked = maybe_seen.join(seen.select("url"), "url", "left_anti")
+            new = definitely_new.unionByName(checked)
+        else:
+            new = links.join(seen.select("url"), "url", "left_anti")
+        new = new.join(exclude.select("url"), "url", "left_anti")
+        return new.select(*_FRONTIER_SCHEMA)
+
+    # ------------------------------------------------------------------ loop
+
+    def run(self, seeds: DataFrame | None = None, resume: bool = False) -> CrawlResultState:
+        cfg = self.config
+        store = self.store
+        spark = self.spark
+
+        if resume and store.latest_iteration() >= 0:
+            start_iter = store.latest_iteration() + 1
+            frontier = store.read_latest(spark, "frontier")
+            seen = store.read_accumulated(spark, "seen_delta") or spark.createDataFrame(
+                [], "url string"
+            )
+            metrics = store.iteration_metrics()
+            pages_fetched = sum(m.get("pages_fetched", 0) for m in metrics)
+            links_processed = sum(m.get("links_found", 0) for m in metrics)
+        else:
+            if seeds is None:
+                raise ValueError("seeds required for a fresh crawl")
+            start_iter = 0
+            frontier = self._init_frontier(seeds)
+            seen = spark.createDataFrame([], "url string")
+            pages_fetched = 0
+            links_processed = 0
+
+        reason = "frontier_exhausted"
+        iteration = start_iter - 1
+        for iteration in range(start_iter, cfg.max_iterations + start_iter):
+            frontier = frontier.persist()
+            frontier_size = frontier.count()
+            if frontier_size == 0:
+                frontier.unpersist()
+                reason = "frontier_exhausted"
+                iteration -= 1
+                break
+            if cfg.max_pages is not None and pages_fetched >= cfg.max_pages:
+                frontier.unpersist()
+                reason = "max_pages"
+                iteration -= 1
+                break
+            if cfg.max_links is not None and links_processed >= cfg.max_links:
+                frontier.unpersist()
+                reason = "max_links"
+                iteration -= 1
+                break
+
+            t0 = time.monotonic()
+
+            selected, carryover = politeness_ops.select_batch(
+                frontier, self.politeness, cfg.default_budget
+            )
+            # deterministic truncation at the page limit (canonical rule for
+            # the reference's racy max_pages stop, apollo.py:538-547)
+            if cfg.max_pages is not None:
+                remaining = cfg.max_pages - pages_fetched
+                ranked_all = politeness_ops.rank_within_iteration(selected)
+                overflow = ranked_all.filter(F.col("rank") > remaining).drop("rank")
+                ranked = ranked_all.filter(F.col("rank") <= remaining)
+                carryover = carryover.unionByName(overflow.select(*_FRONTIER_SCHEMA))
+            else:
+                ranked = politeness_ops.rank_within_iteration(selected)
+            ranked = ranked.persist()
+            carryover = carryover.select(*_FRONTIER_SCHEMA)
+
+            fetched = (
+                ranked.join(self.pages, "url", "left")
+                .withColumn(
+                    "status",
+                    F.when(F.col("warc_ts").isNull(), F.lit("error"))
+                    .when(F.col("html").isNull(), F.lit("non_html"))
+                    .otherwise(F.lit("fetched")),
+                )
+                .withColumn("is_document", urlkit.is_document_url(F.col("url")))
+            ).persist()
+
+            n_selected = ranked.count()
+            n_ok = fetched.filter(F.col("status") != "error").count()
+
+            exclude = carryover.select("url").unionByName(ranked.select("url"))
+            new_links = self._expand(fetched, seen, exclude)
+            # links found this iteration, post-filter pre-dedup (A1 metric)
+            links_found = (
+                self._links_found_count(fetched)
+                if cfg.max_links is not None
+                else None
+            )
+
+            next_frontier = (
+                carryover.unionByName(new_links)
+                .groupBy("url", "host")
+                .agg(F.min("depth").alias("depth"))
+            )
+            next_frontier = self._repartition_state(next_frontier)
+
+            crawl_log = fetched.select(
+                "url",
+                "host",
+                "depth",
+                F.lit(iteration).alias("iteration"),
+                "rank",
+                "status",
+                "is_document",
+            )
+            lineage = next_frontier.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(F.count("*").alias("rows")).withColumn(
+                "iteration", F.lit(iteration)
+            )
+
+            pages_fetched += n_ok
+            if links_found is not None:
+                links_processed += links_found
+
+            store.commit(
+                iteration,
+                {
+                    "frontier": next_frontier,
+                    "seen_delta": ranked.select("url"),
+                    "crawl_log": crawl_log,
+                    "lineage": lineage,
+                },
+                metrics={
+                    "scheduled": n_selected,
+                    "pages_fetched": n_ok,
+                    "links_found": links_found or 0,
+                    "frontier_size": frontier_size,
+                    "wall_s": round(time.monotonic() - t0, 4),
+                },
+            )
+
+            frontier.unpersist()
+            ranked.unpersist()
+            fetched.unpersist()
+
+            # read state back from the committed snapshot: truncates lineage
+            frontier = store.read(spark, "frontier", iteration)
+            seen = store.read_accumulated(spark, "seen_delta")
+        else:
+            reason = "max_iterations"
+
+        return CrawlResultState(
+            iterations=iteration - start_iter + 1 if iteration >= start_iter else 0,
+            pages_fetched=pages_fetched,
+            links_processed=links_processed,
+            stopped_reason=reason,
+        )
+
+    def _links_found_count(self, fetched: DataFrame) -> int:
+        """Post-filter, pre-dedup link count (reference total_links_processed)."""
+        cfg = self.config
+        expandable = fetched.filter(F.col("html").isNotNull())
+        if cfg.depth_limit is not None:
+            expandable = expandable.filter(F.col("depth") < F.lit(cfg.depth_limit))
+        links = expandable.select(
+            F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("raw_link")
+        ).select(urlkit.canonicalize(F.col("raw_link")).alias("url"))
+        links = links.filter(~urlkit.is_ignored(F.col("url"), cfg.extra_ignore_patterns))
+        links = links.withColumn("host", urlkit.url_host(F.col("url")))
+        if cfg.base_host is not None:
+            links = links.filter(F.col("host") == F.lit(cfg.base_host))
+        links = links.withColumn("path", urlkit.url_path(F.col("url")))
+        links = robots_ops.robots_allow(links, self.robots_agg)
+        return links.count()
+
+
+def crawl_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
+    """The accumulated canonical crawl log: (url, iteration, rank, ...)."""
+    return store.read_accumulated(spark, "crawl_log")

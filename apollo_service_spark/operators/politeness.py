@@ -1,0 +1,53 @@
+"""Per-host politeness budgets as window-ranked frontier batches.
+
+Spark realization of the reference's per-worker ``time.sleep(delay)``
+politeness (`apollo.py:619-620`, `config.py:11`) and bounded worker pool: each
+frontier iteration fetches at most ``budget(host)`` URLs per host; the rest
+carry over to the next iteration. The ranking's ``orderBy`` is a total order
+(depth, url) so the batch selection — and therefore the whole crawl ordering —
+is deterministic and replayable (SURVEY.md §2.5).
+
+The politeness table is tiny (one row per host with an explicit budget) and is
+broadcast; the window itself shuffles on ``host``, which is the same key the
+seen-set anti-join uses, so at scale the two stages can reuse one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRONTIER_ORDER = [F.col("depth").asc(), F.col("url").asc()]
+
+
+def select_batch(
+    frontier: DataFrame,
+    politeness: DataFrame | None,
+    default_budget: int,
+) -> tuple:
+    """Split frontier into (selected, carryover) by per-host budget.
+
+    frontier: (url, host, depth); politeness: (host, budget).
+    """
+    win = Window.partitionBy("host").orderBy(*FRONTIER_ORDER)
+    ranked = frontier.withColumn("_rank", F.row_number().over(win))
+    if politeness is not None:
+        ranked = ranked.join(F.broadcast(politeness), "host", "left")
+        ranked = ranked.withColumn(
+            "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+        )
+    else:
+        ranked = ranked.withColumn("budget", F.lit(default_budget))
+    selected = ranked.filter(F.col("_rank") <= F.col("budget")).drop("_rank", "budget")
+    carryover = ranked.filter(F.col("_rank") > F.col("budget")).drop("_rank", "budget")
+    return selected, carryover
+
+
+def rank_within_iteration(selected: DataFrame) -> DataFrame:
+    """Canonical within-iteration fetch rank: global (depth, url) order, 1-based.
+
+    This is the pinned, replayable realization of the reference's
+    thread-nondeterministic dequeue order (SURVEY.md §7 'hard parts').
+    """
+    win = Window.orderBy(*FRONTIER_ORDER)
+    return selected.withColumn("rank", F.row_number().over(win))

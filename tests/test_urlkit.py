@@ -1,0 +1,115 @@
+"""urlkit column expressions vs the Python mirrors (oracle semantics)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apollo_service_spark.functions import urlkit
+
+URLS = [
+    "https://host0.example.com/",
+    "https://host0.example.com/sec1/p3",
+    "https://host0.example.com/reports/annual-report-2019.pdf",
+    "https://host0.example.com/files/statement.xlsx?year=2005",
+    "https://host0.example.com/docs/2021/overview.docx",
+    "https://host0.example.com/admin/login",
+    "https://host0.example.com/user/logout",
+    "https://host0.example.com/assets/banner.jpg",
+    "https://host0.example.com/media/clip.mp4",
+    "https://host0.example.com/broken/404",
+    "https://facebook.com/somebank",
+    "https://www.instagram.com/somebank",
+    "https://bafl.example.com/falah/page",
+    "https://bafl.example.com/falah/statement.pdf",
+    "https://bafl.example.com/falah/archive.zip",
+    "https://plain.example.com/no/keywords/here",
+    "https://host1.example.com/a/b/c/d/e/f",
+    "https://host1.example.com/one",
+    "https://host1.example.com/report-1989.pdf",
+    "https://host1.example.com/q?x=abc&y=1999",
+    "https://host1.example.com/2020/path?x=nope",
+    "https://HOST2.Example.com:443/UPPER/path#frag",
+    "http://host3.example.com:80/x",
+    "https://host4.example.com/year-3021/no-match",
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def _spark_map(url_df, col):
+    rows = url_df.select("url", col.alias("out")).collect()
+    return {r["url"]: r["out"] for r in rows}
+
+
+def test_categorize_matches_python(url_df):
+    got = _spark_map(url_df, urlkit.categorize(F.col("url")))
+    for url in URLS:
+        assert got[url] == urlkit.categorize_py(url), url
+
+
+def test_year_matches_python(url_df):
+    got = _spark_map(url_df, urlkit.extract_year(F.col("url")))
+    for url in URLS:
+        assert got[url] == urlkit.extract_year_py(url), url
+
+
+def test_is_document_matches_python(url_df):
+    got = _spark_map(url_df, urlkit.is_document_url(F.col("url")))
+    for url in URLS:
+        assert got[url] == urlkit.is_document_url_py(url), url
+
+
+def test_is_ignored_matches_python(url_df):
+    got = _spark_map(url_df, urlkit.is_ignored(F.col("url")))
+    for url in URLS:
+        assert got[url] == urlkit.is_ignored_py(url), url
+
+
+def test_canonicalize_matches_python(url_df):
+    got = _spark_map(url_df, urlkit.canonicalize(F.col("url")))
+    for url in URLS:
+        assert got[url] == urlkit.canonicalize_py(url), url
+
+
+def test_canonicalize_examples():
+    assert (
+        urlkit.canonicalize_py("https://HOST.Example.com:443/Path#frag")
+        == "https://host.example.com/Path"
+    )
+    assert urlkit.canonicalize_py("http://a.com:80/x") == "http://a.com/x"
+    assert urlkit.canonicalize_py("http://a.com:8080/x") == "http://a.com:8080/x"
+
+
+def test_path_prefix(spark):
+    cases = [
+        ("/a/b/c/d", "/a/b"),
+        ("/a", "/a"),
+        ("/", "/"),
+        ("", "/"),
+        ("/a/b/", "/a/b"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in cases], "path string")
+    got = {
+        r["path"]: r["out"]
+        for r in df.select(
+            "path", urlkit.path_prefix(F.col("path"), 2).alias("out")
+        ).collect()
+    }
+    for path, want in cases:
+        assert got[path] == want
+        assert urlkit.path_prefix_py(path, 2) == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z]{1,8}\.[a-z]{2,4}", fullmatch=True),
+    path=st.from_regex(r"(/[a-z0-9\-]{1,6}){0,4}", fullmatch=True),
+)
+def test_canonicalize_idempotent(host, path):
+    url = f"https://{host}{path}"
+    once = urlkit.canonicalize_py(url)
+    assert urlkit.canonicalize_py(once) == once
