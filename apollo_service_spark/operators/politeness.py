@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-FRONTIER_ORDER = [F.col("depth").asc(), F.col("url").asc()]
+def frontier_order():
+    """Total order pinning the canonical crawl ordering."""
+    return [F.col("depth").asc(), F.col("url").asc()]
 
 
 def select_batch(
@@ -29,7 +31,7 @@ def select_batch(
 
     frontier: (url, host, depth); politeness: (host, budget).
     """
-    win = Window.partitionBy("host").orderBy(*FRONTIER_ORDER)
+    win = Window.partitionBy("host").orderBy(*frontier_order())
     ranked = frontier.withColumn("_rank", F.row_number().over(win))
     if politeness is not None:
         ranked = ranked.join(F.broadcast(politeness), "host", "left")
@@ -49,5 +51,5 @@ def rank_within_iteration(selected: DataFrame) -> DataFrame:
     This is the pinned, replayable realization of the reference's
     thread-nondeterministic dequeue order (SURVEY.md §7 'hard parts').
     """
-    win = Window.orderBy(*FRONTIER_ORDER)
+    win = Window.orderBy(*frontier_order())
     return selected.withColumn("rank", F.row_number().over(win))
