@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apollo_service_spark.plans import queries as _registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: synthesize the URL corpus
+    from `documents`, run categorizer + year extractor + host grouping in one
+    pass — the reference's stage-2..4 pipeline as a single DataFrame job."""
+    from pyspark.sql import functions as F
+
+    from apollo_service_spark.functions import urlkit
+    from apollo_service_spark.plans.queries import _urls_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(
+            "url",
+            urlkit.url_host(F.col("url")).alias("host"),
+            urlkit.categorize(F.col("url")).alias("category"),
+            urlkit.extract_year(F.col("url")).alias("year"),
+            urlkit.is_document_url(F.col("url")).alias("is_document"),
+        )
+        .groupBy("host", "category", "year", "is_document")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("host", "category", "year")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents for the SQL-expressible subset."""
+    return _registry.oracle_sql()

@@ -132,13 +132,19 @@ def cluster_urls(
         clusters = greedy_merge_paths(
             paths_to_urls, min_cluster_size, similarity_threshold
         )
+        # urls must be an object Series of Python lists — equal-length lists
+        # would otherwise coerce to a 2-D numpy block Arrow can't convert
         return pd.DataFrame(
             {
-                "domain": [domain] * len(clusters),
-                "pattern_order": list(range(1, len(clusters) + 1)),
-                "path_pattern": [p for p, _ in clusters],
-                "urls": [sorted(us) for _, us in clusters],
-                "url_count": [len(us) for _, us in clusters],
+                "domain": pd.Series([domain] * len(clusters), dtype=object),
+                "pattern_order": pd.Series(
+                    range(1, len(clusters) + 1), dtype="int64"
+                ),
+                "path_pattern": pd.Series([p for p, _ in clusters], dtype=object),
+                "urls": pd.Series([sorted(us) for _, us in clusters], dtype=object),
+                "url_count": pd.Series(
+                    [len(us) for _, us in clusters], dtype="int64"
+                ),
             },
             columns=[f.name for f in MERGED_SCHEMA.fields],
         )

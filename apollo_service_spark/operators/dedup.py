@@ -177,39 +177,47 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash64(text_col) -> object:
-    """64-bit simhash: sign-sum over per-token xxhash64 bits, vectorized with
-    higher-order array functions (no Python)."""
-    toks = F.array_distinct(textstats.tokens(F.lower(text_col)))
+def with_simhash(
+    docs: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Append a 64-bit simhash column: sign-sum over per-token xxhash64 bits.
+
+    Two-step column build (bit-count array first, then the packed word) so the
+    token-hash aggregate is evaluated once, not 64×; everything stays
+    JVM-side (shift amounts must be literals, hence the Python loops).
+    """
+    toks = F.array_distinct(textstats.tokens(F.lower(F.col(text_col))))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit position, count tokens with the bit set; bit in result if
-    # count*2 > n_tokens
-    bit_counts = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint")),
-        ),
+    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(64)])
+    bits_of = lambda h: F.array(  # noqa: E731
+        *[
+            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("bigint"))
+            for b in range(64)
+        ]
     )
-    n = F.size(toks)
-    word = F.aggregate(
-        F.zip_with(
-            bit_counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda cnt, b: F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc.bitwiseOR(v),
+    counts = F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b)
     )
-    return F.when(n > 0, word)
+    staged = docs.withColumn("_sh_n", F.size(toks)).withColumn("_sh_counts", counts)
+    word = F.lit(0).cast("bigint")
+    for b in range(64):
+        word = word.bitwiseOR(
+            F.when(
+                F.element_at("_sh_counts", b + 1) * 2 > F.col("_sh_n"),
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return (
+        staged.withColumn(out_col, F.when(F.col("_sh_n") > 0, word))
+        .drop("_sh_n", "_sh_counts")
+    )
 
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents sharing an identical 64-bit simhash (strong near-dup signal)."""
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    sh = with_simhash(docs.select(id_col, text_col), text_col).select(
+        id_col, "simhash"
+    )
     return (
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))

@@ -1,0 +1,760 @@
+"""The queries()/oracle_sql() registry — the driver's correctness contract.
+
+Each entry pairs an idiomatic-DataFrame Spark implementation of one operator
+from SURVEY.md §2 (plus the training-data-pipeline operators) with an
+*independent* ANSI-SQL implementation DuckDB can run on the same parquet
+tables. Crawl-domain operators run over URLs synthesized deterministically
+from ``documents.doc_id`` with a SQL fragment both dialects evaluate
+identically (``F.expr`` on the Spark side), so the oracle exercises the real
+predicate/parse logic, not shared code.
+
+Naming: every computed column is aliased the same on both sides (driver
+hashes values sorted by column name). Aggregates that DuckDB widens to
+HUGEINT are cast to BIGINT; float aggregates are rounded to stabilize the
+order-insensitive value hash.
+
+Entries with no ``oracle_sql`` (greedy clustering, MinHash/SimHash, the full
+frontier crawl) are genuinely non-SQL-expressible; the driver records the
+weaker rows-only check and the pytest suite covers them against hand oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textstats, urlkit
+from ..operators import dedup, similarity
+from ..operators.clustering import cluster_urls
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Synthesized URL corpus over `documents` (shared SQL fragment, both dialects)
+# --------------------------------------------------------------------------
+
+HOST_SQL = (
+    "'host' || CAST(doc_id % 7 AS STRING) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN '.bafl.com.pk' ELSE '.example.com' END)"
+)
+
+PATHQ_SQL = """CASE doc_id % 7
+  WHEN 0 THEN '/reports/annual-report-' || CAST(1990 + doc_id % 40 AS STRING) || '.pdf'
+  WHEN 1 THEN '/files/statement.xlsx?year=' || CAST(1990 + doc_id % 40 AS STRING)
+  WHEN 2 THEN '/admin/login'
+  WHEN 3 THEN '/sec' || CAST(doc_id % 5 AS STRING) || '/p' || CAST(doc_id AS STRING)
+  WHEN 4 THEN '/media/photo' || CAST(doc_id AS STRING) || '.jpg'
+  WHEN 5 THEN '/go/facebook-page'
+  ELSE '/falah/deals/' || CAST(doc_id % 13 AS STRING)
+END"""
+
+URL_SQL = f"'https://' || {HOST_SQL} || ({PATHQ_SQL})"
+
+# DuckDB-side CTE providing url/host/path/query columns
+ORACLE_URLS_CTE = f"""WITH urls AS (
+  SELECT doc_id,
+         'https://' || {HOST_SQL} || ({PATHQ_SQL}) AS url,
+         {HOST_SQL} AS host,
+         {PATHQ_SQL} AS pathq
+  FROM documents
+), parsed AS (
+  SELECT doc_id, url, host,
+         CASE WHEN strpos(pathq, '?') > 0
+              THEN substr(pathq, 1, strpos(pathq, '?') - 1)
+              ELSE pathq END AS path,
+         CASE WHEN strpos(pathq, '?') > 0
+              THEN substr(pathq, strpos(pathq, '?') + 1)
+              ELSE '' END AS query
+  FROM urls
+)"""
+
+
+def _urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(URL_SQL).alias("url"),
+        F.expr(HOST_SQL).alias("host"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Crawl-domain operator queries (SURVEY.md §2.2-2.4)
+# --------------------------------------------------------------------------
+
+
+def q_url_categorize_counts(spark, sf_dir):
+    """F10: order-sensitive CASE categorizer → counts per category."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(urlkit.categorize(F.col("url")).alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_SOCIAL_RE_SQL = "(instagram|facebook|linkedin|twitter|tiktok|youtube|apps\\.google|appstore|play\\.google|app\\.apple)"
+_BANK_RE_SQL = "(bafl|falah)"
+_FILE_RE_SQL = "\\.(pdf|xls|xlsx|doc|docx|ppt|pptx|csv|txt|rtf|zip|rar|tar|gz|xlsb)($|\\?)"
+
+SQL_URL_CATEGORIZE = f"""{ORACLE_URLS_CTE}
+SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT CASE
+    WHEN regexp_matches(url, '{_SOCIAL_RE_SQL}', 'i') THEN 'social_media'
+    WHEN NOT regexp_matches(url, '{_BANK_RE_SQL}', 'i') THEN 'misc'
+    WHEN regexp_matches(url, '{_FILE_RE_SQL}', 'i') THEN 'file'
+    ELSE 'bank' END AS category
+  FROM parsed
+) GROUP BY category"""
+
+
+def q_url_year_counts(spark, sf_dir):
+    """F11/A8-A9: year precedence (filename → query values → path) → counts."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(urlkit.extract_year(F.col("url")).alias("year"))
+        .groupBy("year")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_URL_YEAR = f"""{ORACLE_URLS_CTE}
+SELECT year, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT COALESCE(
+    NULLIF(regexp_extract(string_split(path, '/')[-1], '(19|20)[0-9][0-9]', 0), ''),
+    NULLIF(regexp_extract(query, '(19|20)[0-9][0-9]', 0), ''),
+    NULLIF(regexp_extract(path, '(19|20)[0-9][0-9]', 0), ''),
+    'No Year') AS year
+  FROM parsed
+) GROUP BY year"""
+
+
+def q_url_document_flags(spark, sf_dir):
+    """F8: document-URL predicate → per-flag counts."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(urlkit.is_document_url(F.col("url")).alias("is_document"))
+        .groupBy("is_document")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_URL_DOCUMENT = f"""{ORACLE_URLS_CTE}
+SELECT regexp_matches(lower(path), '\\.(pdf|doc|docx|xls|xlsx|ppt|pptx|txt|rtf|csv)$') AS is_document,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM parsed GROUP BY 1"""
+
+
+def q_url_ignore_filter(spark, sf_dir):
+    """F2: ignore-pattern regex filter — surviving urls."""
+    urls = _urls_df(spark, sf_dir)
+    return urls.filter(~urlkit.is_ignored(F.col("url"))).select("url")
+
+
+_IGNORE_RE_SQL = (
+    "(logout|login|signin|signout"
+    "|\\.(zip|rar|exe|dmg|jpeg|png|gif|mov|jpg|mp3|m4v|avi|mp4|aspx)$"
+    "|\\.jpg|/404$)"
+)
+
+SQL_URL_IGNORE = f"""{ORACLE_URLS_CTE}
+SELECT url FROM parsed WHERE NOT regexp_matches(url, '{_IGNORE_RE_SQL}', 'i')"""
+
+
+def q_url_host_counts(spark, sf_dir):
+    """A2: group-by host (parse_url on the Spark side)."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(urlkit.url_host(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_URL_HOST = f"""{ORACLE_URLS_CTE}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS cnt FROM parsed GROUP BY host"""
+
+
+def q_url_path_prefix_counts(spark, sf_dir):
+    """A3: path truncated to depth 2 → counts."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(
+            urlkit.path_prefix(urlkit.url_path(F.col("url")), 2).alias("path_prefix")
+        )
+        .groupBy("path_prefix")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_URL_PATH_PREFIX = f"""{ORACLE_URLS_CTE}
+SELECT CASE WHEN regexp_extract(rtrim(path, '/'), '^/[^/]+(/[^/]+)?', 0) = ''
+            THEN '/' ELSE regexp_extract(rtrim(path, '/'), '^/[^/]+(/[^/]+)?', 0) END AS path_prefix,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM parsed GROUP BY 1"""
+
+
+def q_frontier_dedup(spark, sf_dir):
+    """J1: the load-bearing anti-join — candidates ∖ seen."""
+    urls = _urls_df(spark, sf_dir)
+    candidates = urls.filter(F.col("doc_id") % 2 == 0).select("url")
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+    return candidates.join(seen, "url", "left_anti").select("url").distinct()
+
+
+SQL_FRONTIER_DEDUP = f"""{ORACLE_URLS_CTE}
+SELECT DISTINCT url FROM parsed c WHERE doc_id % 2 = 0
+  AND NOT EXISTS (SELECT 1 FROM parsed s WHERE s.doc_id % 3 = 0 AND s.url = c.url)"""
+
+
+def q_politeness_rank(spark, sf_dir):
+    """§2.5: per-host budget via window ranking (budget 8 for host0, else 4)."""
+    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"])
+    win = Window.partitionBy("host").orderBy("url")
+    budget = F.when(F.col("host").startswith("host0"), 8).otherwise(4)
+    return (
+        urls.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= budget)
+        .select("host", "url", "rnk")
+    )
+
+
+SQL_POLITENESS = f"""{ORACLE_URLS_CTE}
+SELECT host, url, rnk FROM (
+  SELECT host, url, CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS INT) AS rnk
+  FROM (SELECT DISTINCT host, url FROM parsed)
+) WHERE rnk <= CASE WHEN host LIKE 'host0%' THEN 8 ELSE 4 END"""
+
+
+def q_robots_gate(spark, sf_dir):
+    """F4/J4: per-host Disallow-prefix gating via broadcast rules."""
+    from ..operators.robots import aggregate_rules, robots_allow
+
+    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"])
+    rules = spark.createDataFrame(
+        [
+            ("host1.example.com", "/admin"),
+            ("host1.example.com", "/media"),
+            ("host3.example.com", "/sec"),
+            ("host4.bafl.com.pk", "/falah"),
+        ],
+        "host string, disallow_prefix string",
+    )
+    links = urls.withColumn("path", urlkit.url_path(F.col("url")))
+    return robots_allow(links, aggregate_rules(rules)).select("url")
+
+
+SQL_ROBOTS = f"""{ORACLE_URLS_CTE}
+SELECT url FROM (SELECT DISTINCT url, host, path FROM parsed) p
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES ('host1.example.com', '/admin'),
+                        ('host1.example.com', '/media'),
+                        ('host3.example.com', '/sec'),
+                        ('host4.bafl.com.pk', '/falah')) r(host, prefix)
+  WHERE r.host = p.host AND p.path LIKE r.prefix || '%')"""
+
+
+# --------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables (SURVEY.md §2.3-2.7)
+# --------------------------------------------------------------------------
+
+
+def q_topk_recent_orders(spark, sf_dir):
+    """O3/O4: sort desc + limit with total tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    ).select("o_orderkey", "o_orderdate").limit(10)
+
+
+SQL_TOPK_ORDERS = """SELECT o_orderkey, o_orderdate FROM orders
+ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10"""
+
+
+def q_pagination_orders(spark, sf_dir):
+    """O5: offset/limit pagination."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus")
+        .offset(20)
+        .limit(10)
+    )
+
+
+SQL_PAGINATION = """SELECT o_orderkey, o_orderstatus FROM orders
+ORDER BY o_orderkey OFFSET 20 LIMIT 10"""
+
+
+def q_status_rollup(spark, sf_dir):
+    """A12: rollup with grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SQL_STATUS_ROLLUP = """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus)"""
+
+
+def q_semi_join_customers(spark, sf_dir):
+    """U4/J5: left-semi — customers that have orders, per segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_SEMI_JOIN = """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """J2/U3: left-anti — customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """J6-shape: 3-way equi-join chain with broadcast dims + agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical partial/final hash aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
+ROUND(SUM(l_quantity), 2) AS sum_qty,
+ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+ROUND(AVG(l_discount), 6) AS avg_disc,
+CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_events_window(spark, sf_dir):
+    """§2.5: row_number per user — first 3 events by time."""
+    events = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+SQL_EVENTS_WINDOW = """SELECT user_id, event_id, rnk FROM (
+SELECT user_id, event_id,
+CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rnk
+FROM events) WHERE rnk <= 3"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Streaming analog: tumbling 1-hour windowed counts per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """SELECT date_trunc('hour', ts) AS window_start, event_type,
+CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON scalar extraction from the props column."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_EVENTS_JSON = """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_bucket,
+CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """U1/U2: union + distinct across heterogeneous sources."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = events.select(F.col("event_type").alias("tag"))
+    b = orders.select(F.col("o_orderpriority").alias("tag"))
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_DISTINCT = """SELECT event_type AS tag FROM events
+UNION SELECT o_orderpriority AS tag FROM orders"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint, planted duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    both = docs.unionByName(dupes)
+    groups = dedup.duplicate_groups(both)
+    return groups.select(
+        F.element_at("doc_ids", 1).alias("min_id"),
+        F.col("n_dups"),
+    )
+
+
+SQL_DEDUP_EXACT = """WITH combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+), keyed AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM combined
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM keyed GROUP BY norm HAVING COUNT(*) > 1"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace token counting per document (length histogram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textstats.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_TOKEN_COUNTS = """SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+SELECT CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+FROM documents) GROUP BY n_tokens"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality-band scoring: length / punctuation / word-length heuristics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.round(textstats.quality_score(F.col("text")), 4).alias("quality")
+        )
+    )
+
+
+SQL_QUALITY = """SELECT doc_id, ROUND((
+  CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
++ CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END
++ CASE WHEN (CASE WHEN n_tokens > 0 THEN chars / n_tokens ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+) / 3.0, 4) AS quality FROM (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+    CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE) AS chars
+  FROM documents)"""
+
+
+def q_lang_detect(spark, sf_dir):
+    """Stopword-heuristic language ID → counts per detected language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textstats.detect_lang(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _lang_hits_sql(lang_words):
+    return " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in lang_words
+    )
+
+
+SQL_LANG_DETECT = f"""SELECT detected, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+SELECT CASE WHEN best = 0 THEN 'und'
+            WHEN en = best THEN 'en'
+            WHEN de = best THEN 'de'
+            ELSE 'es' END AS detected FROM (
+  SELECT en, de, es, greatest(en, de, es) AS best FROM (
+    SELECT {_lang_hits_sql(['the','and','of','to','a','in','is','it','that','for'])} AS en,
+           {_lang_hits_sql(['der','die','das','und','ist','ein','nicht','mit','sich','auf'])} AS de,
+           {_lang_hits_sql(['el','la','de','que','y','en','un','es','se','no'])} AS es
+    FROM documents))) GROUP BY detected"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs on planted perturbed copies."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    near = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(near)
+    pairs = dedup.ngram_jaccard_pairs(both, shingle_n=1, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """WITH combined AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words' FROM documents WHERE doc_id < 40
+), toks AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS sh
+  FROM combined
+)
+SELECT a.id AS id_a, b.id AS id_b,
+ROUND(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+  / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.id < b.id
+WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+  / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.6"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the first 5 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    topk = similarity.cosine_topk(queries, corpus, k=3)
+    return topk.select("q_id", "vec_id", "rnk")
+
+
+SQL_ANN_COSINE = """SELECT q_id, vec_id, rnk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rnk
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5
+) WHERE rnk <= 3"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check; pytest oracles)
+# --------------------------------------------------------------------------
+
+
+def q_cluster_greedy(spark, sf_dir):
+    """A4/A5: greedy path-prefix clustering over the synthesized urls."""
+    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"]).select("url")
+    clusters = cluster_urls(urls, path_depth=2)
+    return clusters.select(
+        "domain", "cluster_id", "path_pattern", "url_count"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on planted perturbed copies."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    near = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(near)
+    return dedup.minhash_lsh_pairs(
+        both, n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_groups(spark, sf_dir):
+    """SimHash exact-64-bit duplicate groups on planted exact copies."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    dupes = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(dupes)
+    groups = dedup.simhash_dup_groups(both)
+    return groups.select(
+        F.element_at("doc_ids", 1).alias("min_id"), F.col("n").alias("n_dups")
+    )
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """The flagship engine end-to-end on the deterministic synthetic corpus:
+    frontier supersteps with politeness, robots, bloom-backed dedup, and
+    snapshot checkpointing; returns the canonical crawl log."""
+    import tempfile
+
+    from ..operators.frontier import CrawlConfig, FrontierEngine, crawl_log_df
+    from ..sources.corpus import corpus_to_spark, gen_corpus
+    from ..sources.storage import SnapshotStore
+
+    corpus = corpus_to_spark(spark, gen_corpus(n_hosts=3, n_pages=60, seed=42))
+    with tempfile.TemporaryDirectory() as tmp:
+        store = SnapshotStore(tmp)
+        engine = FrontierEngine(
+            spark,
+            corpus["pages"],
+            store,
+            CrawlConfig(default_budget=6, use_bloom=False),
+            robots=corpus["robots"],
+            politeness=corpus["politeness"],
+        )
+        engine.run(seeds=corpus["seeds"])
+        log = crawl_log_df(spark, store).select(
+            "url", "iteration", "rank", "status", "is_document"
+        )
+        log = log.persist()
+        log.count()  # materialize before the store directory vanishes
+        return log
+
+
+def q_extract_text(spark, sf_dir):
+    """Flagship pandas UDF: HTML→markdown over the synthetic pages table;
+    byte-identity with the oracle column is asserted inline."""
+    from ..functions.udfs import extract_text_udf
+    from ..sources.corpus import corpus_to_spark, gen_corpus
+
+    corpus = corpus_to_spark(spark, gen_corpus(n_hosts=3, n_pages=60, seed=42))
+    pages = corpus["pages"].filter(F.col("html").isNotNull())
+    out = pages.select(
+        "url",
+        extract_text_udf(F.col("html")).alias("extracted"),
+        F.col("text").alias("expected"),
+    ).withColumn(
+        "byte_identical",
+        F.col("extracted").cast("binary") == F.col("expected").cast("binary"),
+    )
+    return out.select("url", "byte_identical")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+_ORACLES = {
+    "url_categorize_counts": SQL_URL_CATEGORIZE,
+    "url_year_counts": SQL_URL_YEAR,
+    "url_document_flags": SQL_URL_DOCUMENT,
+    "url_ignore_filter": SQL_URL_IGNORE,
+    "url_host_counts": SQL_URL_HOST,
+    "url_path_prefix_counts": SQL_URL_PATH_PREFIX,
+    "frontier_dedup": SQL_FRONTIER_DEDUP,
+    "politeness_rank": SQL_POLITENESS,
+    "robots_gate": SQL_ROBOTS,
+    "topk_recent_orders": SQL_TOPK_ORDERS,
+    "pagination_orders": SQL_PAGINATION,
+    "status_rollup": SQL_STATUS_ROLLUP,
+    "semi_join_customers": SQL_SEMI_JOIN,
+    "anti_join_customers": SQL_ANTI_JOIN,
+    "region_revenue": SQL_REGION_REVENUE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_json": SQL_EVENTS_JSON,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY,
+    "lang_detect": SQL_LANG_DETECT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+}
+
+_QUERIES = {
+    "url_categorize_counts": q_url_categorize_counts,
+    "url_year_counts": q_url_year_counts,
+    "url_document_flags": q_url_document_flags,
+    "url_ignore_filter": q_url_ignore_filter,
+    "url_host_counts": q_url_host_counts,
+    "url_path_prefix_counts": q_url_path_prefix_counts,
+    "frontier_dedup": q_frontier_dedup,
+    "politeness_rank": q_politeness_rank,
+    "robots_gate": q_robots_gate,
+    "topk_recent_orders": q_topk_recent_orders,
+    "pagination_orders": q_pagination_orders,
+    "status_rollup": q_status_rollup,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "events_window": q_events_window,
+    "events_tumbling": q_events_tumbling,
+    "events_json": q_events_json,
+    "union_distinct": q_union_distinct,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_detect": q_lang_detect,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    # rows-only (non-SQL-expressible)
+    "cluster_greedy": q_cluster_greedy,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "crawl_frontier": q_crawl_frontier,
+    "extract_text": q_extract_text,
+}
+
+
+def queries() -> dict:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict:
+    return dict(_ORACLES)
