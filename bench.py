@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the engine's target metric — frontier-expansion throughput
+(URLs scheduled + deduped / sec) — on a Spark-generated synthetic frontier,
+reported under ``frontier_expansion_urls_per_sec``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from apollo_service_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "url_categorize_counts",
+    "url_year_counts",
+    "url_ignore_filter",
+    "url_path_prefix_counts",
+    "frontier_dedup",
+    "politeness_rank",
+    "robots_gate",
+    "pricing_summary",
+    "region_revenue",
+    "events_window",
+    "dedup_exact",
+    "token_counts",
+    "quality_scores",
+    "lang_detect",
+    "ann_cosine_topk",
+    "minhash_pairs",
+    "cluster_greedy",
+]
+
+
+def synth_frontier(spark, n_urls: int, n_hosts: int = 1000, salt: int = 0):
+    """Spark-generated frontier (url, host, depth) with Zipf-ish host skew."""
+    base = spark.range(n_urls).select(
+        F.col("id"),
+        # skewed host: square the uniform to concentrate mass on low ids
+        F.pow(F.rand(42 + salt), 2).alias("u"),
+    )
+    host = F.concat(
+        F.lit("host"),
+        F.floor(F.col("u") * n_hosts).cast("long").cast("string"),
+        F.lit(".example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/sec"),
+        (F.col("id") % 13).cast("string"),
+        F.lit("/p"),
+        F.col("id").cast("string"),
+        F.lit(salt).cast("string"),
+    )
+    return base.select(
+        url.alias("url"), host.alias("host"), (F.col("id") % 6).cast("int").alias("depth")
+    )
+
+
+def bench_frontier_expansion(spark, n_frontier: int = 2_000_000, n_seen: int = 2_000_000):
+    """The target metric: politeness-ranked scheduling + bloom/anti-join dedup
+    over a synthetic frontier; urls/sec = (frontier + candidates) / wall."""
+    from apollo_service_spark.operators import politeness as pol
+
+    frontier = synth_frontier(spark, n_frontier, salt=0)
+    # seen overlaps ~50% of the frontier (forces real anti-join work)
+    seen = synth_frontier(spark, n_seen, salt=0).limit(n_seen // 2).select("url").union(
+        synth_frontier(spark, n_seen // 2, salt=7).select("url")
+    )
+    frontier = frontier.persist()
+    seen = seen.persist()
+    frontier.count(), seen.count()
+
+    t0 = time.monotonic()
+    selected, carryover = pol.select_batch(frontier, None, default_budget=10_000)
+    deduped = selected.join(seen, "url", "left_anti")
+    n_sched = deduped.count()
+    wall = time.monotonic() - t0
+    frontier.unpersist()
+    seen.unpersist()
+    return n_frontier / wall, n_sched, wall
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="apollo-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    per_query = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = registry[name](spark, sf_dir)
+        n = df.count()
+        dt = round(time.monotonic() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    tput, n_sched, wall = bench_frontier_expansion(spark)
+    per_query["frontier_expansion"] = round(wall, 3)
+    total += wall
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_expansion_urls_per_sec": round(tput),
+                "frontier_scheduled_deduped": n_sched,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
