@@ -1,0 +1,98 @@
+"""Streaming extraction pipeline + multimodal plumbing tests."""
+
+import struct
+
+from pyspark.sql import functions as F
+
+from apollo_service_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media_meta,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+def _png(width, height):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 8
+    )
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", bytearray(_png(640, 480)), "image/png"),
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 64), "image/jpeg"),
+        (3, "image", bytearray(b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 16), "image/gif"),
+        (4, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 1_000_000), "video/mp4"),
+        (5, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt " + b"\x00" * 32), "audio/wav"),
+        (6, "image", None, "image/png"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_meta(spark):
+    meta = {r["media_id"]: r for r in decode_media_meta(_media_df(spark)).collect()}
+    assert meta[1]["format"] == "png" and meta[1]["width"] == 640 and meta[1]["height"] == 480
+    assert meta[2]["format"] == "jpeg"
+    assert meta[3]["format"] == "gif" and meta[3]["width"] == 12
+    assert meta[4]["format"] == "mp4"
+    assert meta[5]["format"] == "wav"
+    assert meta[6]["format"] == "unknown" and meta[6]["n_bytes"] == 0
+
+
+def test_extract_features_deterministic(spark):
+    df = _media_df(spark)
+    a = {r["media_id"]: list(r["feature"]) for r in extract_features(df, dim=16).collect()}
+    b = {r["media_id"]: list(r["feature"]) for r in extract_features(df, dim=16).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+    norm = sum(x * x for x in a[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+
+
+def test_frame_sample_plan(spark):
+    plan = frame_sample_plan(_media_df(spark), every_n_seconds=1).collect()
+    assert all(r["media_id"] == 4 for r in plan)
+    assert len(plan) >= 2  # 1 MB at nominal bitrate ≈ 4s → several frames
+
+
+def test_streaming_extraction_incremental(spark, small_corpus_spark, tmp_path):
+    """AvailableNow drain processes existing files; a second run with new
+    files processes ONLY the new ones (file-source exactly-once)."""
+    from apollo_service_spark.streaming.pipeline import run_extraction_once
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = small_corpus_spark["pages"]
+    first = pages.filter(F.col("url").contains("host0"))
+    second = pages.filter(F.col("url").contains("host1"))
+
+    first.write.mode("append").parquet(pages_dir)
+    run_extraction_once(spark, pages_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == first.filter(F.col("html").isNotNull()).count()
+
+    second.write.mode("append").parquet(pages_dir)
+    run_extraction_once(spark, pages_dir, out_dir, ckpt)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n2 == n1 + second.filter(F.col("html").isNotNull()).count()
+
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {
+        "url", "host", "category", "year", "warc_ts", "extracted"
+    }
+
+
+def test_windowed_fetch_metrics_batch_semantics(spark, small_corpus_spark):
+    """The watermarked windowed agg evaluated on a static frame (batch parity)."""
+    from apollo_service_spark.streaming.pipeline import windowed_fetch_metrics
+
+    pages = small_corpus_spark["pages"]
+    got = windowed_fetch_metrics(pages).agg(F.sum("pages_fetched")).collect()[0][0]
+    assert got == pages.count()
