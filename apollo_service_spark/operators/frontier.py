@@ -119,14 +119,11 @@ class FrontierEngine:
 
     # ------------------------------------------------------------------ steps
 
-    def _expand(self, fetched: DataFrame, seen: DataFrame, exclude: DataFrame) -> DataFrame:
-        """New frontier candidates from this batch's pages.
-
-        ``exclude`` is the union of the carryover frontier and this
-        iteration's scheduled batch — the reference's visited-set membership
-        includes in-flight URLs (`apollo.py:442-452`), so links back to a
-        just-fetched page must not re-enter the frontier.
-        """
+    def _candidate_links(self, fetched: DataFrame) -> DataFrame:
+        """Post-filter, PRE-dedup candidate links (url, host, depth) from this
+        batch's pages — one row per surviving extracted link, duplicates kept
+        so ``count()`` on it is the reference's total_links_processed
+        increment (`apollo.py:573-574`)."""
         cfg = self.config
         expandable = fetched.filter(F.col("html").isNotNull())
         if cfg.depth_limit is not None:
@@ -152,19 +149,29 @@ class FrontierEngine:
         if cfg.base_host is not None:
             links = links.filter(F.col("host") == F.lit(cfg.base_host))
         links = links.withColumn("path", urlkit.url_path(F.col("url")))
-        links = robots_ops.robots_allow(links, self.robots_agg).drop("path")
+        return robots_ops.robots_allow(links, self.robots_agg).drop("path")
 
-        # links_processed counter (reference apollo.py:573-574) counts the
-        # post-filter, pre-dedup links — materialize the count via agg later.
+    def _dedup(
+        self,
+        links: DataFrame,
+        seen: DataFrame,
+        exclude: DataFrame,
+        seen_count: int,
+    ) -> DataFrame:
+        """Dedup candidates vs the seen set (bloom pre-filter + exact
+        anti-join) and vs in-flight/carryover urls.
+
+        ``exclude`` is the union of the carryover frontier and this
+        iteration's scheduled batch — the reference's visited-set membership
+        includes in-flight URLs (`apollo.py:442-452`), so links back to a
+        just-fetched page must not re-enter the frontier.
+        """
+        cfg = self.config
         links = links.groupBy("url", "host").agg(F.min("depth").alias("depth"))
-
-        # dedup vs seen (bloom pre-filter + exact anti-join), then vs frontier
-        seen_count = seen.count()
-        if (
-            cfg.use_bloom
-            and seen_count >= cfg.bloom_min_seen
-        ):
-            bloom = build_bloom(seen, "url", n_items=max(seen_count, 1), fpp=cfg.bloom_fpp)
+        if cfg.use_bloom and seen_count >= cfg.bloom_min_seen:
+            bloom = build_bloom(
+                seen, "url", n_items=max(seen_count, 1), fpp=cfg.bloom_fpp
+            )
             definitely_new, maybe_seen = split_by_bloom(
                 self.spark, links, "url", bloom
             )
@@ -191,6 +198,10 @@ class FrontierEngine:
             metrics = store.iteration_metrics()
             pages_fetched = sum(m.get("pages_fetched", 0) for m in metrics)
             links_processed = sum(m.get("links_found", 0) for m in metrics)
+            # seen deltas are disjoint (a url is scheduled at most once), so
+            # the cumulative scheduled count IS the seen-set size — no
+            # per-iteration count() job on the accumulated table
+            seen_count = sum(m.get("scheduled", 0) for m in metrics)
         else:
             if seeds is None:
                 raise ValueError("seeds required for a fresh crawl")
@@ -199,6 +210,7 @@ class FrontierEngine:
             seen = spark.createDataFrame([], "url string")
             pages_fetched = 0
             links_processed = 0
+            seen_count = 0
 
         reason = "frontier_exhausted"
         iteration = start_iter - 1
@@ -250,24 +262,29 @@ class FrontierEngine:
                 .withColumn("is_document", urlkit.is_document_url(F.col("url")))
             ).persist()
 
-            n_selected = ranked.count()
-            n_ok = fetched.filter(F.col("status") != "error").count()
+            # one agg job for both batch stats (join only — no UDF upstream)
+            stats = fetched.agg(
+                F.count("*").alias("n_selected"),
+                F.sum(
+                    F.when(F.col("status") != "error", 1).otherwise(0)
+                ).alias("n_ok"),
+            ).collect()[0]
+            n_selected = stats["n_selected"] or 0
+            n_ok = stats["n_ok"] or 0
 
+            # candidate links: persisted so the Arrow extraction UDF runs
+            # exactly once per iteration; count() is the links_found metric
+            links = self._candidate_links(fetched).persist()
+            links_found = links.count()
             exclude = carryover.select("url").unionByName(ranked.select("url"))
-            new_links = self._expand(fetched, seen, exclude)
-            # links found this iteration, post-filter pre-dedup (A1 metric)
-            links_found = (
-                self._links_found_count(fetched)
-                if cfg.max_links is not None
-                else None
-            )
+            new_links = self._dedup(links, seen, exclude, seen_count)
 
             next_frontier = (
                 carryover.unionByName(new_links)
                 .groupBy("url", "host")
                 .agg(F.min("depth").alias("depth"))
             )
-            next_frontier = self._repartition_state(next_frontier)
+            next_frontier = self._repartition_state(next_frontier).persist()
 
             crawl_log = fetched.select(
                 "url",
@@ -285,8 +302,8 @@ class FrontierEngine:
             )
 
             pages_fetched += n_ok
-            if links_found is not None:
-                links_processed += links_found
+            links_processed += links_found
+            seen_count += n_selected
 
             store.commit(
                 iteration,
@@ -299,7 +316,7 @@ class FrontierEngine:
                 metrics={
                     "scheduled": n_selected,
                     "pages_fetched": n_ok,
-                    "links_found": links_found or 0,
+                    "links_found": links_found,
                     "frontier_size": frontier_size,
                     "wall_s": round(time.monotonic() - t0, 4),
                 },
@@ -308,6 +325,8 @@ class FrontierEngine:
             frontier.unpersist()
             ranked.unpersist()
             fetched.unpersist()
+            links.unpersist()
+            next_frontier.unpersist()
 
             # read state back from the committed snapshot: truncates lineage
             frontier = store.read(spark, "frontier", iteration)
@@ -321,24 +340,6 @@ class FrontierEngine:
             links_processed=links_processed,
             stopped_reason=reason,
         )
-
-    def _links_found_count(self, fetched: DataFrame) -> int:
-        """Post-filter, pre-dedup link count (reference total_links_processed)."""
-        cfg = self.config
-        expandable = fetched.filter(F.col("html").isNotNull())
-        if cfg.depth_limit is not None:
-            expandable = expandable.filter(F.col("depth") < F.lit(cfg.depth_limit))
-        links = expandable.select(
-            F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("raw_link")
-        ).select(urlkit.canonicalize(F.col("raw_link")).alias("url"))
-        links = links.filter(~urlkit.is_ignored(F.col("url"), cfg.extra_ignore_patterns))
-        links = links.withColumn("host", urlkit.url_host(F.col("url")))
-        if cfg.base_host is not None:
-            links = links.filter(F.col("host") == F.lit(cfg.base_host))
-        links = links.withColumn("path", urlkit.url_path(F.col("url")))
-        links = robots_ops.robots_allow(links, self.robots_agg)
-        return links.count()
-
 
 def crawl_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
     """The accumulated canonical crawl log: (url, iteration, rank, ...)."""
