@@ -435,6 +435,94 @@ SQL_EVENTS_JSON = """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_
 CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1"""
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
+    session-break flags per user — the stateful-streaming classic expressed
+    as two windows."""
+    events = load_table(spark, sf_dir, "events")
+    order_win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_win)
+    is_break = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    with_breaks = events.withColumn("brk", is_break)
+    session_id = F.sum("brk").over(
+        order_win.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_breaks.withColumn("session_id", session_id.cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """WITH flagged AS (
+  SELECT user_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS brk,
+    ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, value,
+    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+ROUND(SUM(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_id"""
+
+
+def q_status_pivot(spark, sf_dir):
+    """A13 shape: pivot success/fail tallies — conditional aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("high"),
+        F.sum(F.when(F.col("value") < 100, 1).otherwise(0)).alias("low"),
+    )
+
+
+SQL_STATUS_PIVOT = """SELECT event_type,
+CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS high,
+CAST(SUM(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM events GROUP BY event_type"""
+
+
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct counting per group (the dedup-cardinality metric)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+SQL_DISTINCT_USERS = """SELECT event_type,
+CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
+
+
+def q_url_filename(spark, sf_dir):
+    """Scalar-function coverage: basename extraction (year_extractor.py:93)."""
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(urlkit.url_filename(F.col("url")).alias("filename"))
+        .groupBy("filename")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_URL_FILENAME = f"""{ORACLE_URLS_CTE}
+SELECT string_split(path, '/')[-1] AS filename, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM parsed GROUP BY 1"""
+
+
 def q_union_distinct(spark, sf_dir):
     """U1/U2: union + distinct across heterogeneous sources."""
     events = load_table(spark, sf_dir, "events")
@@ -707,6 +795,10 @@ _ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_json": SQL_EVENTS_JSON,
+    "sessionize_events": SQL_SESSIONIZE,
+    "status_pivot": SQL_STATUS_PIVOT,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "url_filename": SQL_URL_FILENAME,
     "union_distinct": SQL_UNION_DISTINCT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
@@ -736,6 +828,10 @@ _QUERIES = {
     "events_window": q_events_window,
     "events_tumbling": q_events_tumbling,
     "events_json": q_events_json,
+    "sessionize_events": q_sessionize_events,
+    "status_pivot": q_status_pivot,
+    "distinct_users": q_distinct_users,
+    "url_filename": q_url_filename,
     "union_distinct": q_union_distinct,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,

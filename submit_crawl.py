@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the frontier crawl.
+
+Cluster usage (north-rule deployment shape)::
+
+    zip -r apollo_service_spark.zip apollo_service_spark
+    spark-submit --py-files apollo_service_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        submit_crawl.py \
+        --pages s3://bucket/pages_table \
+        --seeds s3://bucket/seeds_table \
+        --store s3://bucket/crawl_state \
+        [--robots ...] [--politeness ...] \
+        [--resume] [--max-iterations N] [--depth-limit N] \
+        [--n-partitions 4096] [--default-budget 100]
+
+Local smoke (what the sandbox runs)::
+
+    python submit_crawl.py --demo /tmp/apollo_demo
+
+The job is idempotent per iteration: every superstep commits an atomic
+snapshot, so re-running with ``--resume`` continues mid-frontier after any
+interruption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pages")
+    parser.add_argument("--seeds")
+    parser.add_argument("--robots")
+    parser.add_argument("--politeness")
+    parser.add_argument("--store")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max-iterations", type=int, default=1000)
+    parser.add_argument("--depth-limit", type=int, default=None)
+    parser.add_argument("--max-pages", type=int, default=None)
+    parser.add_argument("--max-links", type=int, default=None)
+    parser.add_argument("--default-budget", type=int, default=100)
+    parser.add_argument("--n-partitions", type=int, default=None)
+    parser.add_argument("--base-host", default=None)
+    parser.add_argument("--demo", metavar="DIR", default=None,
+                        help="generate a synthetic corpus under DIR and crawl it")
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from apollo_service_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    # under spark-submit the session comes preconfigured from --conf flags;
+    # getOrCreate() attaches to it (locally it builds a default one)
+    spark = SparkSession.builder.appName("apollo-frontier-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.demo:
+        from apollo_service_spark.sources.corpus import gen_corpus, write_corpus
+
+        paths = write_corpus(
+            spark, gen_corpus(n_hosts=5, n_pages=200, seed=42), args.demo
+        )
+        args.pages = paths["pages"]
+        args.seeds = paths["seeds"]
+        args.robots = paths["robots"]
+        args.politeness = paths["politeness"]
+        args.store = os.path.join(args.demo, "state")
+        args.default_budget = 6
+
+    if not (args.pages and args.store) or (not args.resume and not args.seeds):
+        parser.error("--pages and --store required; --seeds required unless --resume")
+
+    n_partitions = args.n_partitions or max(
+        32, spark.sparkContext.defaultParallelism * 2
+    )
+    config = CrawlConfig(
+        base_host=args.base_host,
+        depth_limit=args.depth_limit,
+        max_pages=args.max_pages,
+        max_links=args.max_links,
+        default_budget=args.default_budget,
+        n_partitions=n_partitions,
+        max_iterations=args.max_iterations,
+    )
+    engine = FrontierEngine(
+        spark,
+        spark.read.parquet(args.pages),
+        SnapshotStore(args.store),
+        config,
+        robots=spark.read.parquet(args.robots) if args.robots else None,
+        politeness=spark.read.parquet(args.politeness) if args.politeness else None,
+    )
+    seeds = spark.read.parquet(args.seeds) if args.seeds else None
+    state = engine.run(seeds=seeds, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "iterations": state.iterations,
+                "pages_fetched": state.pages_fetched,
+                "links_processed": state.links_processed,
+                "stopped_reason": state.stopped_reason,
+                "store": args.store,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
