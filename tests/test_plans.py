@@ -75,7 +75,8 @@ def test_predicate_pipeline_stays_in_codegen(spark, documents):
         ~urlkit.is_ignored(F.col("u"))
     ).select(urlkit.categorize(F.col("u")).alias("c"))
     plan = _plan(out)
-    assert "WholeStageCodegen" in plan
+    # formatted mode marks codegen'd operators with '*' and '[codegen id : N]'
+    assert "[codegen id :" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure map pipeline: zero shuffles
 
@@ -93,5 +94,10 @@ def test_politeness_window_single_shuffle(spark, documents):
     )
     selected, _carry = select_batch(frontier, None, default_budget=10)
     plan = _plan(selected)
-    assert plan.count("Exchange") == 1
+    # formatted output lists each physical node once as "(N) NodeName";
+    # exactly one Exchange node (hash by host feeding the window sort)
+    import re
+
+    exchange_nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+    assert len(exchange_nodes) == 1, plan
     assert "Window" in plan
