@@ -62,6 +62,11 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_min_seen: int = 10_000          # below this the exact join is cheap
     max_iterations: int = 1000
+    # "broadcast" rebuilds+broadcasts one bloom per iteration (fine to ~10^8
+    # seen urls); "partitioned" maintains per-partition bitmaps incrementally
+    # (the 10^10-scale path, operators/seen.py)
+    seen_backend: str = "broadcast"
+    expected_urls: int = 1_000_000        # bloom sizing for "partitioned"
 
 
 @dataclass
@@ -97,6 +102,18 @@ class FrontierEngine:
             else None
         )
         self.politeness = politeness
+        if self.config.seen_backend == "partitioned":
+            from .seen import PartitionedBloomSeenStore
+
+            self.seen_store = PartitionedBloomSeenStore(
+                store.root,
+                n_partitions=self.config.n_partitions,
+                expected_urls=self.config.expected_urls,
+                fpp=self.config.bloom_fpp,
+                salt=self.config.salt,
+            )
+        else:
+            self.seen_store = None
 
     # ------------------------------------------------------------------ init
 
@@ -168,7 +185,11 @@ class FrontierEngine:
         """
         cfg = self.config
         links = links.groupBy("url", "host").agg(F.min("depth").alias("depth"))
-        if cfg.use_bloom and seen_count >= cfg.bloom_min_seen:
+        if self.seen_store is not None:
+            definitely_new, maybe_seen = self.seen_store.split_candidates(links)
+            checked = maybe_seen.join(seen.select("url"), "url", "left_anti")
+            new = definitely_new.unionByName(checked)
+        elif cfg.use_bloom and seen_count >= cfg.bloom_min_seen:
             bloom = build_bloom(
                 seen, "url", n_items=max(seen_count, 1), fpp=cfg.bloom_fpp
             )
@@ -304,6 +325,12 @@ class FrontierEngine:
             pages_fetched += n_ok
             links_processed += links_found
             seen_count += n_selected
+
+            # bloom blobs are updated BEFORE the manifest commit so the bloom
+            # is always a superset of the committed seen set (crash-safe:
+            # supersets only cause extra exact-checks, never lost urls)
+            if self.seen_store is not None:
+                self.seen_store.update(ranked.select("url", "host"))
 
             store.commit(
                 iteration,

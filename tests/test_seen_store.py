@@ -1,0 +1,92 @@
+"""Partitioned bloom seen-store: unit props + crawl equivalence + crash
+superset invariant."""
+
+from pyspark.sql import functions as F
+
+from apollo_service_spark.operators.seen import PartitionedBloomSeenStore
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame(
+        [(u, u.split("/")[2]) for u in urls], "url string, host string"
+    )
+
+
+def test_update_then_split_no_false_negatives(spark, tmp_path):
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=8, expected_urls=10_000
+    )
+    urls = [f"https://h{i % 5}.com/p{i}" for i in range(3000)]
+    store.update(_urls_df(spark, urls))
+
+    members = _urls_df(spark, urls[:800])
+    new, maybe = store.split_candidates(members)
+    assert new.count() == 0          # every member must route to exact check
+    assert maybe.count() == 800
+
+    others = _urls_df(spark, [f"https://h9.com/x{i}" for i in range(2000)])
+    new2, maybe2 = store.split_candidates(others)
+    assert maybe2.count() / 2000 < 0.05  # fpp bound (target 1%)
+    assert new2.count() + maybe2.count() == 2000
+
+
+def test_incremental_updates_accumulate(spark, tmp_path):
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=4, expected_urls=5000
+    )
+    a = [f"https://a.com/{i}" for i in range(500)]
+    b = [f"https://b.com/{i}" for i in range(500)]
+    store.update(_urls_df(spark, a))
+    store.update(_urls_df(spark, b))
+    new, maybe = store.split_candidates(_urls_df(spark, a + b))
+    assert new.count() == 0
+
+
+def test_empty_store_all_definitely_new(spark, tmp_path):
+    store = PartitionedBloomSeenStore(str(tmp_path), n_partitions=4)
+    cand = _urls_df(spark, [f"https://x.com/{i}" for i in range(100)])
+    new, maybe = store.split_candidates(cand)
+    assert new.count() == 100
+    assert maybe.count() == 0
+
+
+def test_crawl_equivalence_partitioned_backend(
+    spark, small_corpus, small_corpus_spark, tmp_path
+):
+    """Exact crawl parity must hold with the partitioned seen backend."""
+    from tests.test_frontier import _log_tuples, _run_engine, _sim_inputs
+
+    from apollo_service_spark.operators.frontier import CrawlConfig
+    from apollo_service_spark.oracle.simulator import SimConfig, simulate
+
+    pages, seeds, robots, politeness = _sim_inputs(small_corpus)
+    sim = simulate(pages, seeds, SimConfig(), robots=robots, politeness=politeness)
+    _state, store = _run_engine(
+        spark,
+        small_corpus_spark,
+        str(tmp_path / "pb"),
+        CrawlConfig(seen_backend="partitioned", expected_urls=10_000),
+    )
+    assert _log_tuples(spark, store) == {
+        (r["url"], r["iteration"], r["rank"]) for r in sim.crawl_log
+    }
+
+
+def test_stale_superset_bloom_is_safe(spark, tmp_path):
+    """Bloom ahead of the committed seen set (crash between blob update and
+    manifest commit) must not lose urls: they route to the exact check."""
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=4, expected_urls=5000
+    )
+    committed = [f"https://c.com/{i}" for i in range(100)]
+    uncommitted = [f"https://c.com/u{i}" for i in range(50)]
+    store.update(_urls_df(spark, committed + uncommitted))  # bloom superset
+
+    seen_table = _urls_df(spark, committed).select("url")
+    candidates = _urls_df(spark, uncommitted)
+    new, maybe = store.split_candidates(candidates)
+    # all uncommitted urls are in the bloom → maybe_seen
+    assert new.count() == 0
+    # the exact anti-join recovers them as genuinely new
+    recovered = maybe.join(seen_table, "url", "left_anti")
+    assert recovered.count() == 50
