@@ -93,6 +93,28 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def categorize_post(text: Column, categories: dict) -> Column:
+    """Keyword-argmax post categorizer (reference fb_scrape_service.py:191-219):
+
+    per category, score = number of its keywords with a strict word-boundary
+    match; winner = argmax with ties broken by category order; zero matches →
+    'other'; empty/null text → 'uncategorized'. ``categories`` is an ordered
+    {name: [keywords]} dict — the category table is data, not code.
+    """
+    scores = []
+    for name, keywords in categories.items():
+        score = F.lit(0)
+        for kw in keywords:
+            score = score + F.when(text.rlike(rf"(?i)\b{kw}\b"), 1).otherwise(0)
+        scores.append((name, score))
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    expr = F.when(text.isNull() | (F.trim(text) == ""), F.lit("uncategorized"))
+    expr = expr.when(best == 0, F.lit("other"))
+    for name, score in scores:
+        expr = expr.when(score == best, F.lit(name))
+    return expr
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>) for Jaccard/MinHash dedup."""
     toks = tokens(F.lower(text))

@@ -523,6 +523,102 @@ SELECT string_split(path, '/')[-1] AS filename, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM parsed GROUP BY 1"""
 
 
+POST_CATEGORIES = {
+    "query_engine": ["query", "filter", "join", "scan"],
+    "streaming": ["stream", "window", "batch", "value"],
+    "storage": ["table", "row", "data", "key"],
+}
+
+
+def q_post_categorize(spark, sf_dir):
+    """F14: keyword-argmax post categorizer (ties → first category, zero →
+    'other', empty → 'uncategorized') over documents.text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            textstats.categorize_post(F.col("text"), POST_CATEGORIES).alias(
+                "post_category"
+            )
+        )
+        .groupBy("post_category")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cat_score_sql(keywords):
+    return " + ".join(
+        f"CASE WHEN regexp_matches(text, '\\b{kw}\\b', 'i') THEN 1 ELSE 0 END"
+        for kw in keywords
+    )
+
+
+SQL_POST_CATEGORIZE = f"""SELECT post_category, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+SELECT CASE
+  WHEN text IS NULL OR trim(text) = '' THEN 'uncategorized'
+  WHEN greatest(qe, st, sto) = 0 THEN 'other'
+  WHEN qe = greatest(qe, st, sto) THEN 'query_engine'
+  WHEN st = greatest(qe, st, sto) THEN 'streaming'
+  ELSE 'storage' END AS post_category
+FROM (
+  SELECT {_cat_score_sql(POST_CATEGORIES['query_engine'])} AS qe,
+         {_cat_score_sql(POST_CATEGORIES['streaming'])} AS st,
+         {_cat_score_sql(POST_CATEGORIES['storage'])} AS sto,
+         text
+  FROM documents)) GROUP BY post_category"""
+
+
+# content-type → extension map (reference downloader.py:260-277 shape)
+_EXT_CONTENT_TYPES = {
+    "pdf": "application/pdf",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "csv": "text/csv",
+    "txt": "text/plain",
+}
+
+
+def q_download_manifest(spark, sf_dir):
+    """S9: download-manifest projection — document urls not yet downloaded,
+    with extension and content-type (literal map lookup), skip-if-exists as
+    an anti-join (downloader.py:223-233)."""
+    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"])
+    docs = urls.filter(urlkit.is_document_url(F.col("url")))
+    ext = F.element_at(
+        F.split(F.lower(urlkit.url_path(F.col("url"))), r"\."), -1
+    )
+    ct_map = F.create_map(
+        *[F.lit(x) for pair in _EXT_CONTENT_TYPES.items() for x in pair]
+    )
+    already = urls.filter(F.col("doc_id") % 5 == 0).select("url")
+    return (
+        docs.join(already, "url", "left_anti")
+        .select(
+            "url",
+            ext.alias("ext"),
+            F.coalesce(ct_map[ext], F.lit("application/octet-stream")).alias(
+                "content_type"
+            ),
+        )
+    )
+
+
+SQL_DOWNLOAD_MANIFEST = f"""{ORACLE_URLS_CTE}
+SELECT url, ext,
+  CASE ext
+    WHEN 'pdf' THEN 'application/pdf'
+    WHEN 'xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+    WHEN 'docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+    WHEN 'csv' THEN 'text/csv'
+    WHEN 'txt' THEN 'text/plain'
+    ELSE 'application/octet-stream' END AS content_type
+FROM (
+  SELECT DISTINCT url, string_split(lower(path), '.')[-1] AS ext
+  FROM parsed p
+  WHERE regexp_matches(lower(path), '\\.(pdf|doc|docx|xls|xlsx|ppt|pptx|txt|rtf|csv)$')
+    AND NOT EXISTS (SELECT 1 FROM parsed d WHERE d.doc_id % 5 = 0 AND d.url = p.url)
+)"""
+
+
 def q_union_distinct(spark, sf_dir):
     """U1/U2: union + distinct across heterogeneous sources."""
     events = load_table(spark, sf_dir, "events")
@@ -799,6 +895,8 @@ _ORACLES = {
     "status_pivot": SQL_STATUS_PIVOT,
     "distinct_users": SQL_DISTINCT_USERS,
     "url_filename": SQL_URL_FILENAME,
+    "post_categorize": SQL_POST_CATEGORIZE,
+    "download_manifest": SQL_DOWNLOAD_MANIFEST,
     "union_distinct": SQL_UNION_DISTINCT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
@@ -832,6 +930,8 @@ _QUERIES = {
     "status_pivot": q_status_pivot,
     "distinct_users": q_distinct_users,
     "url_filename": q_url_filename,
+    "post_categorize": q_post_categorize,
+    "download_manifest": q_download_manifest,
     "union_distinct": q_union_distinct,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
