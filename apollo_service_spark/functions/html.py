@@ -23,7 +23,6 @@ vectorized path calls the same pure function per row", which the tests verify.
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
@@ -420,7 +419,10 @@ def extract_links(html, base_url: str) -> list:
         pass
     links = set()
     for href in parser.hrefs:
-        href = unescape(href).strip()
+        # HTMLParser entity-decodes attribute values during parsing (same as
+        # bs4 in the reference, apollo.py:359-371); a second unescape() here
+        # would double-decode '&amp;amp;'-style hrefs and change canonical urls
+        href = href.strip()
         if not href or href.startswith(_SKIP_SCHEMES):
             continue
         try:

@@ -7,8 +7,18 @@ a ``documents``-shaped table (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _kw_rx(kw: str) -> str:
+    """Regex-quote a data-driven keyword before embedding it in a pattern
+    (the reference does the same with re.escape, fb_scrape_service.py:186) —
+    'C++' or 'a.b' must match literally, not as regex syntax. re.escape only
+    backslashes non-alphanumerics, which Java regex accepts identically."""
+    return re.escape(kw)
 
 # Small stopword lists for the n-gram/stopword language heuristic.
 _STOPWORDS = {
@@ -46,7 +56,7 @@ def stopword_hits(text: Column, lang: str) -> Column:
     lowered = F.lower(text)
     hit = F.lit(0)
     for w in words:
-        hit = hit + F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        hit = hit + F.when(lowered.rlike(rf"\b{_kw_rx(w)}\b"), 1).otherwise(0)
     return hit
 
 
@@ -105,7 +115,9 @@ def categorize_post(text: Column, categories: dict) -> Column:
     for name, keywords in categories.items():
         score = F.lit(0)
         for kw in keywords:
-            score = score + F.when(text.rlike(rf"(?i)\b{kw}\b"), 1).otherwise(0)
+            score = score + F.when(
+                text.rlike(rf"(?i)\b{_kw_rx(kw)}\b"), 1
+            ).otherwise(0)
         scores.append((name, score))
     best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
     expr = F.when(text.isNull() | (F.trim(text) == ""), F.lit("uncategorized"))

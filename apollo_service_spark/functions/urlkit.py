@@ -38,7 +38,9 @@ IGNORE_PATTERNS = [
     r"signout",
     r"\.(zip|rar|exe|dmg|jpeg|png|gif|mov|jpg|mp3|m4v|avi|mp4|aspx)$",
     r"\.jpg",
-    r"/404$",
+    # substring, not anchored: the reference's prescreen (apollo.py:229)
+    # checks `'/404' in lower_url`, which subsumes its anchored /404$ regex
+    r"/404",
 ]
 
 DOCUMENT_EXTENSIONS = [
@@ -207,7 +209,7 @@ def path_prefix(path: Column, depth: int = 2) -> Column:
 # --------------------------------------------------------------------------
 
 
-_IGNORE_SUBSTRINGS = ["logout", "login", "signin", "signout", ".jpg"]
+_IGNORE_SUBSTRINGS = ["logout", "login", "signin", "signout", ".jpg", "/404"]
 _IGNORE_EXT_SUFFIXES = [
     ".zip", ".rar", ".exe", ".dmg", ".jpeg", ".png", ".gif", ".mov",
     ".jpg", ".mp3", ".m4v", ".avi", ".mp4", ".aspx",
@@ -227,7 +229,7 @@ def is_ignored(url: Column, extra_patterns: list | None = None) -> Column:
     cond = F.lit(False)
     for sub in _IGNORE_SUBSTRINGS:
         cond = cond | lower.contains(sub)
-    for suf in _IGNORE_EXT_SUFFIXES + ["/404"]:
+    for suf in _IGNORE_EXT_SUFFIXES:
         cond = cond | lower.endswith(suf)
     if extra_patterns:
         fused = "|".join(f"(?:{p})" for p in extra_patterns)

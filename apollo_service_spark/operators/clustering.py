@@ -19,13 +19,14 @@ tests encode the same pinned order.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, LongType, StringType, StructField, StructType,
 )
 
 from ..functions import urlkit
+from .ranking import global_row_number
 
 MERGED_SCHEMA = StructType(
     [
@@ -178,13 +179,13 @@ def cluster_urls(
     merged = comps.groupBy("domain").applyInPandas(merge_domain, MERGED_SCHEMA)
 
     # lexicographic domain ids (pinned; reference ids are insertion-order,
-    # url_clusterer.py:239-266), sub-ids in greedy-emission order
-    domain_win = Window.orderBy("domain")
-    domain_ids = (
-        merged.select("domain")
-        .distinct()
-        .withColumn("domain_id", F.dense_rank().over(domain_win).cast("string"))
-    )
+    # url_clusterer.py:239-266), sub-ids in greedy-emission order. Ids come
+    # from the distributed ranker — dense_rank over Window.orderBy would be a
+    # single-partition sort over ALL distinct domains (millions on a real web
+    # corpus); on the distinct set row_number == dense_rank.
+    domain_ids = global_row_number(
+        merged.select("domain").distinct(), ["domain"], rank_col="_did"
+    ).withColumn("domain_id", F.col("_did").cast("string")).drop("_did")
     return (
         merged.join(F.broadcast(domain_ids), "domain")
         .withColumn(

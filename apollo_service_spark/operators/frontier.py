@@ -36,7 +36,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import urlkit
@@ -62,10 +62,12 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_min_seen: int = 10_000          # below this the exact join is cheap
     max_iterations: int = 1000
-    # "broadcast" rebuilds+broadcasts one bloom per iteration (fine to ~10^8
-    # seen urls); "partitioned" maintains per-partition bitmaps incrementally
-    # (the 10^10-scale path, operators/seen.py)
-    seen_backend: str = "broadcast"
+    # "partitioned" (default) maintains per-partition bloom bitmaps + exact
+    # url sets incrementally — the 10^10-scale path (operators/seen.py): cost
+    # per superstep is proportional to the delta and nothing bloom-shaped
+    # crosses the driver. "broadcast" rebuilds+broadcasts one bloom per
+    # iteration (only sane to ~10^8 seen urls; kept for A/B benchmarking).
+    seen_backend: str = "partitioned"
     expected_urls: int = 1_000_000        # bloom sizing for "partitioned"
 
 
@@ -78,6 +80,16 @@ class CrawlResultState:
 
 
 _FRONTIER_SCHEMA = ["url", "host", "depth"]
+
+
+def _obs_metrics(obs: Observation, fallback) -> dict:
+    """Observation values, or ``fallback()`` when the observed node was
+    optimized away before running (AQE empty-relation propagation on sessions
+    not built by session.py — build_session excludes that rule)."""
+    try:
+        return obs.get
+    except Exception:
+        return fallback()
 
 
 class FrontierEngine:
@@ -171,12 +183,16 @@ class FrontierEngine:
     def _dedup(
         self,
         links: DataFrame,
-        seen: DataFrame,
+        seen: DataFrame | None,
         exclude: DataFrame,
         seen_count: int,
     ) -> DataFrame:
-        """Dedup candidates vs the seen set (bloom pre-filter + exact
-        anti-join) and vs in-flight/carryover urls.
+        """Dedup candidates vs the seen set and vs in-flight/carryover urls.
+
+        Partitioned backend: one partition-local pass (bloom probe + exact
+        pid-local url set inside the task, seen.py:filter_new) — the
+        accumulated seen set never shuffles. Broadcast backend: bloom
+        pre-filter + exact anti-join against the accumulated seen table.
 
         ``exclude`` is the union of the carryover frontier and this
         iteration's scheduled batch — the reference's visited-set membership
@@ -186,9 +202,7 @@ class FrontierEngine:
         cfg = self.config
         links = links.groupBy("url", "host").agg(F.min("depth").alias("depth"))
         if self.seen_store is not None:
-            definitely_new, maybe_seen = self.seen_store.split_candidates(links)
-            checked = maybe_seen.join(seen.select("url"), "url", "left_anti")
-            new = definitely_new.unionByName(checked)
+            new = self.seen_store.filter_new(links)
         elif cfg.use_bloom and seen_count >= cfg.bloom_min_seen:
             bloom = build_bloom(
                 seen, "url", n_items=max(seen_count, 1), fpp=cfg.bloom_fpp
@@ -213,9 +227,6 @@ class FrontierEngine:
         if resume and store.latest_iteration() >= 0:
             start_iter = store.latest_iteration() + 1
             frontier = store.read_latest(spark, "frontier")
-            seen = store.read_accumulated(spark, "seen_delta") or spark.createDataFrame(
-                [], "url string"
-            )
             metrics = store.iteration_metrics()
             pages_fetched = sum(m.get("pages_fetched", 0) for m in metrics)
             links_processed = sum(m.get("links_found", 0) for m in metrics)
@@ -226,52 +237,70 @@ class FrontierEngine:
         else:
             if seeds is None:
                 raise ValueError("seeds required for a fresh crawl")
+            if self.seen_store is not None:
+                self.seen_store.reset()
             start_iter = 0
             frontier = self._init_frontier(seeds)
-            seen = spark.createDataFrame([], "url string")
             pages_fetched = 0
             links_processed = 0
             seen_count = 0
+        # one count per RUN (not per iteration): every subsequent frontier
+        # size is observed for free during the previous commit's write
+        frontier = frontier.persist()
+        frontier_size = frontier.count()
+
+        seen = None
+        if self.seen_store is None:
+            seen = (
+                store.read_accumulated(spark, "seen_delta")
+                if resume and store.latest_iteration() >= 0
+                else None
+            ) or spark.createDataFrame([], "url string")
 
         reason = "frontier_exhausted"
         iteration = start_iter - 1
         for iteration in range(start_iter, cfg.max_iterations + start_iter):
-            frontier = frontier.persist()
-            frontier_size = frontier.count()
+            # stop checks on driver-side counters only — the frontier size of
+            # iteration k is observed during iteration k-1's commit write, so
+            # the loop top runs zero Spark jobs (first iteration: size unknown,
+            # the superstep itself resolves an empty frontier to zero work)
             if frontier_size == 0:
-                frontier.unpersist()
                 reason = "frontier_exhausted"
                 iteration -= 1
                 break
             if cfg.max_pages is not None and pages_fetched >= cfg.max_pages:
-                frontier.unpersist()
                 reason = "max_pages"
                 iteration -= 1
                 break
             if cfg.max_links is not None and links_processed >= cfg.max_links:
-                frontier.unpersist()
                 reason = "max_links"
                 iteration -= 1
                 break
 
             t0 = time.monotonic()
+            frontier = frontier.persist()
 
             selected, carryover = politeness_ops.select_batch(
                 frontier, self.politeness, cfg.default_budget
             )
             # deterministic truncation at the page limit (canonical rule for
             # the reference's racy max_pages stop, apollo.py:538-547)
+            ranked_all = politeness_ops.rank_within_iteration(
+                selected, cfg.n_partitions
+            )
             if cfg.max_pages is not None:
                 remaining = cfg.max_pages - pages_fetched
-                ranked_all = politeness_ops.rank_within_iteration(selected)
                 overflow = ranked_all.filter(F.col("rank") > remaining).drop("rank")
                 ranked = ranked_all.filter(F.col("rank") <= remaining)
                 carryover = carryover.unionByName(overflow.select(*_FRONTIER_SCHEMA))
             else:
-                ranked = politeness_ops.rank_within_iteration(selected)
+                ranked = ranked_all
             ranked = ranked.persist()
             carryover = carryover.select(*_FRONTIER_SCHEMA)
 
+            # batch stats ride the commit writes as observed metrics — no
+            # dedicated .collect()/.count() jobs in the superstep
+            obs_batch = Observation()
             fetched = (
                 ranked.join(self.pages, "url", "left")
                 .withColumn(
@@ -281,31 +310,34 @@ class FrontierEngine:
                     .otherwise(F.lit("fetched")),
                 )
                 .withColumn("is_document", urlkit.is_document_url(F.col("url")))
-            ).persist()
+                .observe(
+                    obs_batch,
+                    F.count(F.lit(1)).alias("n_selected"),
+                    F.sum(
+                        F.when(F.col("status") != "error", 1).otherwise(0)
+                    ).alias("n_ok"),
+                )
+                .persist()
+            )
 
-            # one agg job for both batch stats (join only — no UDF upstream)
-            stats = fetched.agg(
-                F.count("*").alias("n_selected"),
-                F.sum(
-                    F.when(F.col("status") != "error", 1).otherwise(0)
-                ).alias("n_ok"),
-            ).collect()[0]
-            n_selected = stats["n_selected"] or 0
-            n_ok = stats["n_ok"] or 0
-
-            # candidate links: persisted so the Arrow extraction UDF runs
-            # exactly once per iteration; count() is the links_found metric
-            links = self._candidate_links(fetched).persist()
-            links_found = links.count()
+            obs_links = Observation()
+            links = self._candidate_links(fetched).observe(
+                obs_links, F.count(F.lit(1)).alias("links_found")
+            )
             exclude = carryover.select("url").unionByName(ranked.select("url"))
             new_links = self._dedup(links, seen, exclude, seen_count)
 
+            obs_next = Observation()
             next_frontier = (
                 carryover.unionByName(new_links)
                 .groupBy("url", "host")
                 .agg(F.min("depth").alias("depth"))
             )
-            next_frontier = self._repartition_state(next_frontier).persist()
+            next_frontier = (
+                self._repartition_state(next_frontier)
+                .observe(obs_next, F.count(F.lit(1)).alias("next_size"))
+                .persist()
+            )
 
             crawl_log = fetched.select(
                 "url",
@@ -322,17 +354,37 @@ class FrontierEngine:
                 "iteration", F.lit(iteration)
             )
 
-            pages_fetched += n_ok
-            links_processed += links_found
-            seen_count += n_selected
-
-            # bloom blobs are updated BEFORE the manifest commit so the bloom
-            # is always a superset of the committed seen set (crash-safe:
-            # supersets only cause extra exact-checks, never lost urls)
+            # seen-store blobs/url files are updated BEFORE the manifest
+            # commit so the store is always a superset of the committed seen
+            # set (crash-safe: supersets only cause extra exclusions of urls
+            # the crawl already scheduled, never lost urls)
             if self.seen_store is not None:
                 self.seen_store.update(ranked.select("url", "host"))
 
-            store.commit(
+            def _metrics() -> dict:
+                # evaluated by the store AFTER the table writes — the writes
+                # are the actions that populate the observations
+                batch = _obs_metrics(
+                    obs_batch,
+                    lambda: fetched.agg(
+                        F.count(F.lit(1)).alias("n_selected"),
+                        F.sum(
+                            F.when(F.col("status") != "error", 1).otherwise(0)
+                        ).alias("n_ok"),
+                    ).collect()[0].asDict(),
+                )
+                link_m = _obs_metrics(
+                    obs_links, lambda: {"links_found": links.count()}
+                )
+                return {
+                    "scheduled": int(batch["n_selected"] or 0),
+                    "pages_fetched": int(batch["n_ok"] or 0),
+                    "links_found": int(link_m["links_found"] or 0),
+                    "frontier_size": frontier_size,
+                    "wall_s": round(time.monotonic() - t0, 4),
+                }
+
+            m = store.commit(
                 iteration,
                 {
                     "frontier": next_frontier,
@@ -340,24 +392,28 @@ class FrontierEngine:
                     "crawl_log": crawl_log,
                     "lineage": lineage,
                 },
-                metrics={
-                    "scheduled": n_selected,
-                    "pages_fetched": n_ok,
-                    "links_found": links_found,
-                    "frontier_size": frontier_size,
-                    "wall_s": round(time.monotonic() - t0, 4),
-                },
+                metrics=_metrics,
+            )
+
+            pages_fetched += m["pages_fetched"]
+            links_processed += m["links_found"]
+            seen_count += m["scheduled"]
+            frontier_size = int(
+                _obs_metrics(
+                    obs_next, lambda: {"next_size": next_frontier.count()}
+                )["next_size"]
+                or 0
             )
 
             frontier.unpersist()
             ranked.unpersist()
             fetched.unpersist()
-            links.unpersist()
             next_frontier.unpersist()
 
             # read state back from the committed snapshot: truncates lineage
             frontier = store.read(spark, "frontier", iteration)
-            seen = store.read_accumulated(spark, "seen_delta")
+            if self.seen_store is None:
+                seen = store.read_accumulated(spark, "seen_delta")
         else:
             reason = "max_iterations"
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranking import global_row_number
+
 def frontier_order():
     """Total order pinning the canonical crawl ordering."""
     return [F.col("depth").asc(), F.col("url").asc()]
@@ -45,11 +47,16 @@ def select_batch(
     return selected, carryover
 
 
-def rank_within_iteration(selected: DataFrame) -> DataFrame:
+def rank_within_iteration(selected: DataFrame, n_partitions: int = 32) -> DataFrame:
     """Canonical within-iteration fetch rank: global (depth, url) order, 1-based.
 
     This is the pinned, replayable realization of the reference's
     thread-nondeterministic dequeue order (SURVEY.md §7 'hard parts').
+    Computed distributed (range-partition + per-partition rank + broadcast
+    offsets, operators/ranking.py) — a plain ``Window.orderBy`` would funnel
+    every selected URL of the iteration through one task, the superstep's
+    serialization point at 10^10-frontier scale.
     """
-    win = Window.orderBy(*frontier_order())
-    return selected.withColumn("rank", F.row_number().over(win))
+    return global_row_number(
+        selected, frontier_order(), rank_col="rank", n_partitions=n_partitions
+    )

@@ -1,0 +1,68 @@
+"""Distributed global ranking — total order without a single-partition sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels every row through ONE
+task (Spark plans it as ``Exchange SinglePartition``) — fine at thousands of
+rows, a serialization point at the 10^10-frontier scale this engine targets
+(SURVEY.md §7, VERDICT r1 "What's wrong" #1-2). ``global_row_number`` computes
+the identical 1-based rank in three distributed steps:
+
+1. **range-partition** on the order columns (``repartitionByRange`` — Spark's
+   sampled RangePartitioner, deterministic seeds), so partition *p* holds a
+   contiguous slice of the total order;
+2. **rank within partition** via a window PARTITIONED by the range-partition
+   id — parallelism = number of range partitions, no global funnel;
+3. **offset** each partition's ranks by the cumulative row count of the
+   partitions before it. The per-partition counts are a ≤``n_partitions``-row
+   aggregate; the running sum over them is computed with a broadcast
+   nested-loop self-join (tiny × tiny) so the final plan contains NO
+   ``Exchange SinglePartition`` anywhere (asserted by tests/test_plans.py).
+
+Determinism: both branches (counts and ranks) recompute the same range
+exchange; RangePartitioner's reservoir sampling is seeded per-partition
+(deterministic), so partition ids agree between the branches even without
+caching. The output rank is byte-identical to
+``row_number() OVER (ORDER BY cols)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """1-based global row_number over the total order ``order_cols``,
+    computed without any single-partition exchange.
+
+    ``order_cols`` may be column names or Column expressions; the order must
+    be total (ties would make the rank nondeterministic, exactly as with a
+    plain window).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(n_partitions, *cols).withColumn(
+        "_rpid", F.spark_partition_id()
+    )
+
+    counts = part.groupBy("_rpid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # running sum over ≤ n_partitions rows: broadcast non-equi self-join
+    # instead of Window.orderBy (which would plan Exchange SinglePartition)
+    a = counts.select(F.col("_rpid").alias("_apid"))
+    b = counts.select(F.col("_rpid").alias("_bpid"), "_cnt")
+    offsets = (
+        a.join(F.broadcast(b), F.col("_bpid") < F.col("_apid"), "left")
+        .groupBy(F.col("_apid").alias("_rpid"))
+        .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_off"))
+    )
+
+    win = Window.partitionBy("_rpid").orderBy(*cols)
+    return (
+        part.withColumn("_r", F.row_number().over(win))
+        .join(F.broadcast(offsets), "_rpid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_r")).cast("int"))
+        .drop("_rpid", "_r", "_off")
+    )

@@ -15,22 +15,38 @@ blob next to the seen table. Per iteration:
   those go to the exact anti-join, which keeps correctness exact regardless
   of bloom state.
 
-Crash-safety invariant: blobs are updated BEFORE the snapshot manifest
-commits, so the bloom is always a superset of the committed seen set. A
-superset can only cause false ``maybe_seen`` routes, which the exact
-anti-join resolves — never a lost URL.
+* **exact check, partition-local**: alongside each bitmap the store keeps the
+  partition's exact url set as parquet files (``urls/pid=N/``). ``filter_new``
+  resolves bloom maybes against the pid-local exact set *inside the same
+  task* — no shuffle of the accumulated seen table, no anti-join stage: the
+  only exchange in the dedup path is the one groupBy-pid shuffle of the
+  (small) candidate delta. Each task reads only its own pid's files
+  (accumulated/P bytes), which is the same IO a bucketed-join scan would do,
+  minus the join machinery.
+
+Crash-safety invariant: blobs and url files are updated BEFORE the snapshot
+manifest commits, so the store is always a superset of the committed seen
+set. A superset is harmless: re-run iterations re-schedule from the committed
+frontier, and any url the superset wrongly flags as seen is one the crawl
+already scheduled (it is also in the exclude set) — never a lost URL
+(tests/test_seen_store.py locks this in).
 
 On a real cluster the blobs live on the shared store (S3/HDFS) and each task
 reads/writes only its own ~MB-scale blob; nothing bloom-shaped ever crosses
-the driver.
+the driver. Size ``n_partitions`` so accumulated/P fits a task: at 10^10 urls
+and 4096 pids a partition holds ~2.4M urls (~200 MB raw, ~50 MB parquet).
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,7 +67,9 @@ class PartitionedBloomSeenStore:
         salt: int = 42,
     ):
         self.root = os.path.join(root, "seen_bloom")
+        self.urls_root = os.path.join(root, "seen_urls")
         os.makedirs(self.root, exist_ok=True)
+        os.makedirs(self.urls_root, exist_ok=True)
         self.n_partitions = n_partitions
         total_bits = optimal_bits(expected_urls, fpp)
         self.bits_per_partition = max(8192, total_bits // n_partitions)
@@ -66,19 +84,31 @@ class PartitionedBloomSeenStore:
     def _blob_path(self, pid: int) -> str:
         return os.path.join(self.root, f"pid={pid:05d}.bin")
 
+    def reset(self) -> None:
+        """Drop all blobs and exact url files (fresh-crawl start on a root
+        that may hold a previous crawl's seen state)."""
+        for path in glob.glob(os.path.join(self.root, "pid=*.bin")):
+            os.remove(path)
+        for path in glob.glob(os.path.join(self.urls_root, "pid=*", "*.parquet")):
+            os.remove(path)
+
     # -- update --------------------------------------------------------------
 
     def update(self, delta: DataFrame) -> int:
-        """OR the delta's urls into the per-partition bitmaps.
+        """OR the delta's urls into the per-partition bitmaps and append them
+        to the per-partition exact url files.
 
         delta: DataFrame with (url, host). One applyInPandas group per pid ⇒
         exclusive writer per blob; atomic replace keeps readers consistent.
+        The exact urls land as one immutable parquet file per (pid, update) —
+        append-only, so a concurrent/crashed reader never sees a torn file.
         Returns number of partitions touched.
         """
         n_bits, k = self.bits_per_partition, self.k
-        root = self.root
+        root, urls_root = self.root, self.urls_root
 
         keyed = delta.select(
+            F.col("url"),
             F.xxhash64("url", F.lit(_H1_SALT)).alias("h1"),
             F.xxhash64("url", F.lit(_H2_SALT)).alias("h2"),
             self.pid_col(F.col("host")).alias("pid"),
@@ -91,6 +121,15 @@ class PartitionedBloomSeenStore:
             bloom.add_batch(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
             if os.path.exists(path):
                 bloom.bitmap |= np.fromfile(path, dtype=np.uint8)
+            pid_dir = os.path.join(urls_root, f"pid={pid:05d}")
+            os.makedirs(pid_dir, exist_ok=True)
+            fname = os.path.join(pid_dir, f"delta-{uuid.uuid4().hex}.parquet")
+            pq.write_table(
+                pa.table({"h1": pdf["h1"].to_numpy(), "h2": pdf["h2"].to_numpy(),
+                          "url": pdf["url"].astype(str).to_numpy()}),
+                fname + ".tmp",
+            )
+            os.replace(fname + ".tmp", fname)
             tmp = path + ".tmp"
             bloom.bitmap.tofile(tmp)
             os.replace(tmp, path)
@@ -143,3 +182,51 @@ class PartitionedBloomSeenStore:
         definitely_new = flagged.filter(~F.col("_maybe_seen")).select(*cols)
         maybe_seen = flagged.filter(F.col("_maybe_seen")).select(*cols)
         return definitely_new, maybe_seen
+
+    def filter_new(self, candidates: DataFrame) -> DataFrame:
+        """Exact partition-local dedup: candidates not yet in the seen set.
+
+        One applyInPandas per pid: bloom-check every row (bit probes, cheap),
+        then resolve the bloom maybes against the pid's exact url files loaded
+        inside the task. The accumulated seen set never enters a shuffle —
+        the only exchange is the groupBy-pid of the candidate delta, on the
+        same salted-host key the rest of the frontier state uses. Correctness
+        is exact regardless of bloom false positives.
+        """
+        n_bits, k = self.bits_per_partition, self.k
+        root, urls_root = self.root, self.urls_root
+        cols = candidates.columns
+
+        keyed = candidates.withColumn(
+            "_h1", F.xxhash64("url", F.lit(_H1_SALT))
+        ).withColumn("_h2", F.xxhash64("url", F.lit(_H2_SALT))).withColumn(
+            "_pid", self.pid_col(F.col("host"))
+        )
+        out_schema = keyed.drop("_h1", "_h2", "_pid").schema
+
+        def check(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["_pid"].iloc[0])
+            blob = os.path.join(root, f"pid={pid:05d}.bin")
+            out_cols = [c for c in pdf.columns if c not in ("_h1", "_h2", "_pid")]
+            if not os.path.exists(blob):
+                return pdf[out_cols]
+            bloom = BloomFilter(np.fromfile(blob, dtype=np.uint8), n_bits, k)
+            maybe = bloom.might_contain(
+                pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
+            )
+            if maybe.any():
+                files = sorted(
+                    glob.glob(os.path.join(urls_root, f"pid={pid:05d}", "*.parquet"))
+                )
+                seen_urls: set = set()
+                for f in files:
+                    seen_urls.update(
+                        pq.read_table(f, columns=["url"]).column("url").to_pylist()
+                    )
+                hits = pdf["url"].isin(seen_urls).to_numpy()
+                keep = ~(maybe & hits)
+            else:
+                keep = np.ones(len(pdf), dtype=bool)
+            return pdf.loc[keep, out_cols]
+
+        return keyed.groupBy("_pid").applyInPandas(check, schema=out_schema)

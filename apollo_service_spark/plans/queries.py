@@ -153,7 +153,7 @@ def q_url_ignore_filter(spark, sf_dir):
 _IGNORE_RE_SQL = (
     "(logout|login|signin|signout"
     "|\\.(zip|rar|exe|dmg|jpeg|png|gif|mov|jpg|mp3|m4v|avi|mp4|aspx)$"
-    "|\\.jpg|/404$)"
+    "|\\.jpg|/404)"
 )
 
 SQL_URL_IGNORE = f"""{ORACLE_URLS_CTE}
@@ -545,9 +545,17 @@ def q_post_categorize(spark, sf_dir):
     )
 
 
+def _sql_rx(kw):
+    """Regex-quote a keyword and escape SQL single quotes for embedding in a
+    DuckDB regexp literal (mirrors textstats._kw_rx on the Spark side)."""
+    import re
+
+    return re.escape(kw).replace("'", "''")
+
+
 def _cat_score_sql(keywords):
     return " + ".join(
-        f"CASE WHEN regexp_matches(text, '\\b{kw}\\b', 'i') THEN 1 ELSE 0 END"
+        f"CASE WHEN regexp_matches(text, '\\b{_sql_rx(kw)}\\b', 'i') THEN 1 ELSE 0 END"
         for kw in keywords
     )
 
@@ -713,7 +721,7 @@ def q_lang_detect(spark, sf_dir):
 
 def _lang_hits_sql(lang_words):
     return " + ".join(
-        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        f"CASE WHEN regexp_matches(lower(text), '\\b{_sql_rx(w)}\\b') THEN 1 ELSE 0 END"
         for w in lang_words
     )
 

@@ -40,6 +40,16 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # AQEPropagateEmptyRelation can collapse a subtree holding a
+        # CollectMetrics node (df.observe) before it runs, resolving the
+        # engine's per-superstep Observations to an empty row (seen on the
+        # final crawl iterations where new_links is empty). The engine's
+        # metrics ride the commit writes as observations, so keep the node
+        # alive; empty-relation pruning buys nothing on these explicit plans.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)

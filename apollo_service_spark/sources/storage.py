@@ -55,8 +55,14 @@ class SnapshotStore:
         iteration: int,
         tables: dict,
         metrics: dict | None = None,
-    ) -> None:
-        """Write all tables for `iteration`, then atomically commit.
+    ) -> dict:
+        """Write all tables for `iteration`, then atomically commit; returns
+        the committed metrics dict.
+
+        ``metrics`` may be a dict or a zero-arg callable evaluated after the
+        table writes — the engine passes a callable that reads Spark
+        ``Observation`` values which the writes themselves populate (the
+        superstep's stats ride the write jobs; no dedicated count actions).
 
         A crash between the data writes and the manifest swap leaves the
         manifest at the previous iteration — orphan files are ignored by
@@ -73,6 +79,8 @@ class SnapshotStore:
             path = self._table_dir(name, iteration)
             df.write.mode("overwrite").parquet(path)
             written[name] = path
+        if callable(metrics):
+            metrics = metrics()
         manifest["committed_iteration"] = iteration
         manifest["iterations"][str(iteration)] = {
             "tables": written,
@@ -82,6 +90,7 @@ class SnapshotStore:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1, default=str)
         os.replace(tmp, self._manifest_path)
+        return metrics or {}
 
     # -- read path ----------------------------------------------------------
 

@@ -114,6 +114,19 @@ def test_extract_links_semantics():
     assert links == ["https://base.com/a/b", "https://other.com/x"]
 
 
+def test_extract_links_entity_decoded_once():
+    """Attribute values are entity-decoded exactly once (HTMLParser does it
+    during parsing, same as the reference's bs4, apollo.py:359-371); a literal
+    '&amp;amp;' in the source is one decode → '&amp;', not '&'."""
+    html = (
+        '<a href="/p?a=1&amp;b=2">one</a>'
+        '<a href="/q?x=&amp;amp;y">double-escaped</a>'
+    )
+    links = extract_links(html, "https://base.com/")
+    assert "https://base.com/p?a=1&b=2" in links
+    assert "https://base.com/q?x=&amp;y" in links
+
+
 def test_udf_equivalence_byte_identical(spark, small_corpus):
     """Arrow-batched UDF output == precomputed oracle text, byte for byte."""
     from apollo_service_spark.sources.corpus import PAGES_SCHEMA

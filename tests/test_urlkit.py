@@ -18,6 +18,8 @@ URLS = [
     "https://host0.example.com/assets/banner.jpg",
     "https://host0.example.com/media/clip.mp4",
     "https://host0.example.com/broken/404",
+    "https://host0.example.com/404/deep/page",
+    "https://host0.example.com/4040-history",
     "https://facebook.com/somebank",
     "https://www.instagram.com/somebank",
     "https://bafl.example.com/falah/page",
@@ -67,6 +69,15 @@ def test_is_ignored_matches_python(url_df):
     got = _spark_map(url_df, urlkit.is_ignored(F.col("url")))
     for url in URLS:
         assert got[url] == urlkit.is_ignored_py(url), url
+
+
+def test_is_ignored_404_substring():
+    """Reference prescreen is `'/404' in lower_url` (apollo.py:229) — any
+    position, not just the suffix; '/4040...' contains '/404' and matches."""
+    assert urlkit.is_ignored_py("https://h/404/page")
+    assert urlkit.is_ignored_py("https://h/x/404")
+    assert urlkit.is_ignored_py("https://h/4040-history")
+    assert not urlkit.is_ignored_py("https://h/40/4")
 
 
 def test_canonicalize_matches_python(url_df):
