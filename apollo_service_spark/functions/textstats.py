@@ -127,6 +127,38 @@ def categorize_post(text: Column, categories: dict) -> Column:
     return expr
 
 
+def keyword_match_counts(df, text_col: Column, keywords: list):
+    """Per-keyword loose/strict match counts over a post/document table —
+    the reference's headline FB-scrape output (fb_scrape_service.py:155-189,
+    aggregated :333-340, merged across batches :435-439).
+
+    loose  = #rows where lower(keyword) is a substring of lower(text);
+    strict = #rows where additionally ``\\b re.escape(kw) \\b`` matches
+    (the reference only tests strict inside the loose branch — strict ⊆
+    loose by construction). Computed as ONE partial-aggregable pass over the
+    table (2·K conditional sums, map-side combined), then unpivoted with
+    ``stack`` — no row explosion, no join; at 100 TB this is a single scan.
+    Returns (keyword, loose_matches, strict_matches), one row per keyword.
+    """
+    aggs = []
+    for i, kw in enumerate(keywords):
+        kl = kw.lower()
+        loose = F.lower(text_col).contains(F.lit(kl))
+        strict = F.lower(text_col).rlike(rf"\b{_kw_rx(kl)}\b")
+        aggs.append(F.sum(F.when(loose, 1).otherwise(0)).alias(f"_l{i}"))
+        aggs.append(
+            F.sum(F.when(loose & strict, 1).otherwise(0)).alias(f"_s{i}")
+        )
+    row = df.agg(*aggs)
+    cells = ", ".join(
+        "'{}', _l{}, _s{}".format(kw.replace("'", "\\'"), i, i)
+        for i, kw in enumerate(keywords)
+    )
+    return row.selectExpr(
+        f"stack({len(keywords)}, {cells}) AS (keyword, loose_matches, strict_matches)"
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>) for Jaccard/MinHash dedup."""
     toks = tokens(F.lower(text))

@@ -204,6 +204,22 @@ def path_prefix(path: Column, depth: int = 2) -> Column:
     )
 
 
+# Windows/POSIX-unsafe filename characters, each replaced with '_'
+# (fb_scrape_service.py:149-153, deal_scrape_service.py:182-183)
+INVALID_FILENAME_CHARS = '<>:"/\\|?*'
+
+
+def sanitize_filename(name: Column) -> Column:
+    """Replace every invalid filename character with '_' — one translate()."""
+    return F.translate(name, INVALID_FILENAME_CHARS, "_" * len(INVALID_FILENAME_CHARS))
+
+
+def sanitize_filename_py(name: str) -> str:
+    for ch in INVALID_FILENAME_CHARS:
+        name = name.replace(ch, "_")
+    return name
+
+
 # --------------------------------------------------------------------------
 # Predicates / filters
 # --------------------------------------------------------------------------

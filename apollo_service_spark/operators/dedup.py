@@ -55,12 +55,20 @@ def duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # --------------------------------------------------------------------------
 
 
+def _salted_hash(seed: int):
+    # one-arg lambda on purpose: a two-arg lambda (e.g. `lambda s, i=i: ...`)
+    # is interpreted by F.transform as (element, array_index) and the index
+    # column silently overrides the bound seed
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
 def minhash_signature(text_col, n_hashes: int = 32, shingle_n: int = 3):
-    """array<bigint> of n_hashes minhash values, all JVM-side."""
+    """array<bigint> of n_hashes minhash values (min over per-permutation
+    salted xxhash64 of each shingle), all JVM-side."""
     sh = textstats.shingles(text_col, shingle_n)
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(sh, _salted_hash(i)))
             for i in range(n_hashes)
         ]
     )
@@ -75,9 +83,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by exact shingle
-    Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``max_bucket_size`` caps the within-bucket self-join: one degenerate
+    band value (boilerplate pages, empty-ish docs) would otherwise go
+    quadratic and pin a superstep. Oversized buckets are dropped from the
+    pairwise path — their members are, by construction, mutual near-dups at
+    enormous multiplicity, which the exact/group representation
+    (``duplicate_groups`` / ``simhash_dup_groups``) handles in O(n) instead
+    of emitting O(n²) pairs. Set ``max_bucket_size=None`` to disable.
+    """
     rows_per_band = n_hashes // bands
     sigs = docs.select(
         F.col(id_col).alias("id"),
@@ -109,6 +127,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -222,4 +249,86 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``hamming_max`` between 64-bit
+    simhashes, via pigeonhole banding.
+
+    The 64 bits are split into ``hamming_max + 1`` contiguous bands: any two
+    hashes within Hamming distance ``hamming_max`` differ in at most
+    ``hamming_max`` bands, so they agree EXACTLY on at least one band —
+    candidate pairs are found with equality joins on (band_index, band_value)
+    buckets (candidates ∝ collisions, never n²), then verified with
+    ``bit_count(a XOR b)``. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    ``max_bucket_size`` guards degenerate bands exactly as in
+    ``minhash_lsh_pairs``.
+    """
+    n_bands = hamming_max + 1
+    width = 64 // n_bands
+    sh = (
+        with_simhash(docs.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("id"), "simhash")
+        .filter(F.col("simhash").isNotNull())
+    )
+
+    def band_value(b: int):
+        # band b covers bits [b*width, ...); the last band takes the remainder
+        w = width if b < n_bands - 1 else 64 - b * width
+        mask = F.lit(-1 if w == 64 else (1 << w) - 1).cast("bigint")
+        return F.shiftrightunsigned("simhash", b * width).bitwiseAND(mask)
+
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_value(b).alias("value")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.value").alias("value"))
+
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "value")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        banded = banded.join(small, ["band", "value"], "left_semi")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
     )

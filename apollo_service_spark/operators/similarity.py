@@ -47,6 +47,7 @@ def cosine_topk(
     c_id: str = "vec_id",
     q_vec: str = "q_vec",
     c_vec: str = "embedding",
+    max_queries: int = 50_000,
 ) -> DataFrame:
     """Brute-force top-k: the query set (small) is collected and broadcast as
     a numpy matrix; each corpus Arrow batch is scored with one matmul inside
@@ -59,7 +60,16 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q_pd = queries.select(q_id, q_vec).toPandas()
+    # the query side is deliberately driver-collected (small by contract);
+    # the guard stops a caller from collecting a 10M-row query set — route
+    # large query sets through lsh_topk / ivf_topk instead
+    q_pd = queries.select(q_id, q_vec).limit(max_queries + 1).toPandas()
+    if len(q_pd) > max_queries:
+        raise ValueError(
+            f"cosine_topk collects the query side to the driver; got more "
+            f"than max_queries={max_queries} rows — use lsh_topk or ivf_topk "
+            f"for large query sets"
+        )
     q_ids = q_pd[q_id].to_numpy()
     q_mat = np.vstack(q_pd[q_vec].to_list()).astype(np.float64)
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

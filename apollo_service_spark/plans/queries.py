@@ -627,6 +627,193 @@ FROM (
 )"""
 
 
+# FB keyword report (F12/F13/A11): keywords are data; the list below mixes
+# corpus words with a regex-metachar keyword ('a.b') to pin the re.escape
+# semantics (fb_scrape_service.py:186) in the correctness gate.
+FB_KEYWORDS = ["query", "spark", "batch", "win", "a.b"]
+
+
+def q_fb_keyword_counts(spark, sf_dir):
+    """A11: per-keyword loose (substring) / strict (word-boundary) match
+    counts over documents.text — the reference's headline FB-scrape output
+    (fb_scrape_service.py:155-189, 333-340)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.keyword_match_counts(docs, F.col("text"), FB_KEYWORDS)
+
+
+def _kw_counts_sql(kw):
+    rx = _sql_rx(kw.lower())
+    lit = kw.lower().replace("'", "''")
+    name = kw.replace("'", "''")
+    return f"""SELECT '{name}' AS keyword,
+  CAST(SUM(CASE WHEN contains(lower(text), '{lit}') THEN 1 ELSE 0 END) AS BIGINT) AS loose_matches,
+  CAST(SUM(CASE WHEN contains(lower(text), '{lit}')
+                 AND regexp_matches(lower(text), '\\b{rx}\\b') THEN 1 ELSE 0 END) AS BIGINT) AS strict_matches
+FROM documents"""
+
+
+SQL_FB_KEYWORD_COUNTS = "\nUNION ALL\n".join(_kw_counts_sql(k) for k in FB_KEYWORDS)
+
+
+def q_filename_sanitize(spark, sf_dir):
+    """F16: filename sanitizer — one translate() replacing the 9 invalid
+    filename characters with '_' (fb_scrape_service.py:149-153). Applied to
+    full urls (which carry '/', ':', '?') as the downloader does when naming
+    files after their source url."""
+    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"])
+    return urls.select(
+        "url", urlkit.sanitize_filename(F.col("url")).alias("safe_name")
+    )
+
+
+SQL_FILENAME_SANITIZE = f"""{ORACLE_URLS_CTE}
+SELECT DISTINCT url,
+  translate(url, '<>:"/\\|?*', '_________') AS safe_name
+FROM parsed"""
+
+
+def q_page_metadata(spark, sf_dir):
+    """S8: metadata sidecar columns — document_id = sha2(content, 256) plus a
+    sanitized display name (scraper.py:303-330's document_id/name fields)."""
+    docs = load_table(spark, sf_dir, "documents")
+    name = F.substring(F.trim(F.col("text")), 1, 32)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        urlkit.sanitize_filename(name).alias("doc_name"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+SQL_PAGE_METADATA = """SELECT doc_id,
+  sha256(text) AS content_sha,
+  translate(substr(trim(text), 1, 32), '<>:"/\\|?*', '_________') AS doc_name,
+  CAST(length(text) AS INT) AS n_bytes
+FROM documents"""
+
+
+def q_events_recent(spark, sf_dir):
+    """S11: ts-BETWEEN windowed source scan (the FB since/until fetch,
+    fb_scrape_service.py:221-304) — the range predicate reaches the parquet
+    scan as PushedFilters; tests/test_plans.py additionally asserts partition
+    pruning on a date-partitioned layout of the same table."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_RECENT = """SELECT CAST(ts AS DATE) AS day, event_type,
+CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1, 2"""
+
+
+def q_downloads_by_year(spark, sf_dir):
+    """A13 on the real manifest: download results tallied per extracted year
+    (downloader.py:381-410) — manifest (S9) × year extractor (F11) × a
+    deterministic success flag, pivoted to success/fail counts."""
+    manifest = q_download_manifest(spark, sf_dir)
+    # deterministic download outcome both dialects can compute: first hex
+    # digit of md5(url) < '8' (≈50/50) — stands in for the HTTP result
+    with_year = manifest.select(
+        "url",
+        urlkit.extract_year(F.col("url")).alias("year"),
+        (F.substring(F.md5(F.col("url")), 1, 1) < F.lit("8")).alias("ok"),
+    )
+    return with_year.groupBy("year").agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("succeeded"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
+    )
+
+
+SQL_DOWNLOADS_BY_YEAR = f"""{ORACLE_URLS_CTE}
+, manifest AS (
+  SELECT DISTINCT url, path, query FROM parsed p
+  WHERE regexp_matches(lower(path), '\\.(pdf|doc|docx|xls|xlsx|ppt|pptx|txt|rtf|csv)$')
+    AND NOT EXISTS (SELECT 1 FROM parsed d WHERE d.doc_id % 5 = 0 AND d.url = p.url)
+), yeared AS (
+  SELECT COALESCE(
+    NULLIF(regexp_extract(string_split(path, '/')[-1], '(19|20)[0-9][0-9]', 0), ''),
+    NULLIF(regexp_extract(query, '(19|20)[0-9][0-9]', 0), ''),
+    NULLIF(regexp_extract(path, '(19|20)[0-9][0-9]', 0), ''),
+    'No Year') AS year,
+    substr(md5(url), 1, 1) < '8' AS ok
+  FROM manifest
+)
+SELECT year,
+CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
+CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS failed
+FROM yeared GROUP BY year"""
+
+
+def q_attachment_stats(spark, sf_dir):
+    """F17/S12: nested array<struct> projection — posts carry
+    ``attachments: array<struct<type,url,width,height>>``
+    (fb_scrape_service.py:400-428, deal_scrape_service.py:244-331); project
+    with ``transform(attachments, a -> a.url)``, flatten with explode, and
+    roll up per attachment type. The attachments are synthesized
+    deterministically from documents (every doc gets an image; every third a
+    video), parsed from a shared JSON fragment so the Spark side exercises
+    real ArrayType(StructType) columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    att_schema = "array<struct<type:string,url:string,width:int,height:int>>"
+    json_col = F.concat(
+        F.lit('[{"type":"image","url":"https://cdn.example.com/img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png","width":'),
+        (F.col("doc_id") % 800 + 100).cast("string"),
+        F.lit(',"height":'),
+        (F.col("doc_id") % 600 + 100).cast("string"),
+        F.lit("}"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(',{"type":"video","url":"https://cdn.example.com/vid/'),
+                F.col("doc_id").cast("string"),
+                F.lit('.mp4","width":640,"height":480}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    posts = docs.select(
+        "doc_id", F.from_json(json_col, att_schema).alias("attachments")
+    )
+    urls = posts.select(
+        F.explode(F.transform("attachments", lambda a: a["url"])).alias("att_url")
+    )
+    att = posts.select(F.explode("attachments").alias("att"))
+    by_type = att.groupBy(F.col("att.type").alias("att_type")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("att.width"), 4).alias("avg_width"),
+    )
+    n_urls = urls.agg(F.count("*").alias("n")).select("n")
+    # single result: per-type rollup joined with the projected-url count
+    return by_type.crossJoin(F.broadcast(n_urls).withColumnRenamed("n", "total_urls"))
+
+
+SQL_ATTACHMENT_STATS = """WITH att AS (
+  SELECT 'image' AS att_type,
+         CAST(doc_id % 800 + 100 AS INT) AS width
+  FROM documents
+  UNION ALL
+  SELECT 'video', 640 FROM documents WHERE doc_id % 3 = 0
+)
+SELECT att_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+ROUND(AVG(width), 4) AS avg_width,
+(SELECT CAST(COUNT(*) AS BIGINT) FROM att) AS total_urls
+FROM att GROUP BY att_type"""
+
+
 def q_union_distinct(spark, sf_dir):
     """U1/U2: union + distinct across heterogeneous sources."""
     events = load_table(spark, sf_dir, "events")
@@ -801,7 +988,12 @@ def q_cluster_greedy(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on planted perturbed copies."""
+    """MinHash+LSH near-dup pairs on planted perturbed copies, oracled by
+    exact 3-gram Jaccard: at threshold 0.5 the banding must be rows-per-band
+    = 1 (bands = n_hashes = 32) so the per-pair miss probability is
+    (1-J)^32 ≤ 2.3e-10 — the LSH result is exactly the J ≥ 0.5 pair set
+    (precision is exact by construction: candidates are verified with exact
+    Jaccard). Production dedup at J ≥ 0.8 uses the coarser 8×4 banding."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     near = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -809,12 +1001,38 @@ def q_minhash_pairs(spark, sf_dir):
     )
     both = docs.select("doc_id", "text").unionByName(near)
     return dedup.minhash_lsh_pairs(
-        both, n_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.5
+        both, n_hashes=32, bands=32, shingle_n=3, jaccard_threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+SQL_MINHASH_PAIRS = """WITH combined AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id < 40
+), toks AS (
+  SELECT doc_id AS id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM combined
+), sh AS (
+  SELECT id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+)
+SELECT a.id AS id_a, b.id AS id_b,
+ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5"""
+
+
 def q_simhash_groups(spark, sf_dir):
-    """SimHash exact-64-bit duplicate groups on planted exact copies."""
+    """SimHash exact-64-bit duplicate groups on planted exact copies.
+
+    SimHash is computed over the distinct-token set, so identical token sets
+    ⇒ identical simhash — the DuckDB oracle groups by the sorted distinct
+    token set (verified equivalent on this corpus; a cross-set 64-bit
+    collision would be a genuine hash accident)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     dupes = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -824,6 +1042,19 @@ def q_simhash_groups(spark, sf_dir):
     return groups.select(
         F.element_at("doc_ids", 1).alias("min_id"), F.col("n").alias("n_dups")
     )
+
+
+SQL_SIMHASH_GROUPS = """WITH combined AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
+), keyed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS key
+  FROM combined
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM keyed GROUP BY key HAVING COUNT(*) > 1"""
 
 
 def q_crawl_frontier(spark, sf_dir):
@@ -857,8 +1088,12 @@ def q_crawl_frontier(spark, sf_dir):
 
 
 def q_extract_text(spark, sf_dir):
-    """Flagship pandas UDF: HTML→markdown over the synthetic pages table;
-    byte-identity with the oracle column is asserted inline."""
+    """Flagship pandas UDF: HTML→markdown over the synthetic pages table.
+    Returns (n_pages, n_identical): pages processed and pages whose UDF
+    output is byte-identical to the expected text column. The generator is
+    seed-pinned, so both numbers are constants the DuckDB oracle asserts:
+    gen_corpus(3, 60, 42) yields exactly 60 html pages, and the per-row
+    invariant requires n_identical == n_pages."""
     from ..functions.udfs import extract_text_udf
     from ..sources.corpus import corpus_to_spark, gen_corpus
 
@@ -872,7 +1107,16 @@ def q_extract_text(spark, sf_dir):
         "byte_identical",
         F.col("extracted").cast("binary") == F.col("expected").cast("binary"),
     )
-    return out.select("url", "byte_identical")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.when(F.col("byte_identical"), 1).otherwise(0)).alias(
+            "n_identical"
+        ),
+    )
+
+
+SQL_EXTRACT_TEXT = """SELECT CAST(60 AS BIGINT) AS n_pages,
+CAST(60 AS BIGINT) AS n_identical"""
 
 
 # --------------------------------------------------------------------------
@@ -912,6 +1156,15 @@ _ORACLES = {
     "lang_detect": SQL_LANG_DETECT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE,
+    "fb_keyword_counts": SQL_FB_KEYWORD_COUNTS,
+    "filename_sanitize": SQL_FILENAME_SANITIZE,
+    "page_metadata": SQL_PAGE_METADATA,
+    "events_recent": SQL_EVENTS_RECENT,
+    "downloads_by_year": SQL_DOWNLOADS_BY_YEAR,
+    "attachment_stats": SQL_ATTACHMENT_STATS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash_groups": SQL_SIMHASH_GROUPS,
+    "extract_text": SQL_EXTRACT_TEXT,
 }
 
 _QUERIES = {
@@ -947,12 +1200,19 @@ _QUERIES = {
     "lang_detect": q_lang_detect,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
-    # rows-only (non-SQL-expressible)
-    "cluster_greedy": q_cluster_greedy,
+    "fb_keyword_counts": q_fb_keyword_counts,
+    "filename_sanitize": q_filename_sanitize,
+    "page_metadata": q_page_metadata,
+    "events_recent": q_events_recent,
+    "downloads_by_year": q_downloads_by_year,
+    "attachment_stats": q_attachment_stats,
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
-    "crawl_frontier": q_crawl_frontier,
     "extract_text": q_extract_text,
+    # rows-only (non-SQL-expressible: order-dependent greedy merge / the
+    # full stateful crawl loop)
+    "cluster_greedy": q_cluster_greedy,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 

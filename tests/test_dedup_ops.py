@@ -1,0 +1,115 @@
+"""Dedup-operator semantics: LSH recall/caps, SimHash Hamming banding."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from apollo_service_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signature_bands_vary(spark):
+    """Each signature slot uses its own permutation salt — a regression
+    guard for the transform (element, index) lambda pitfall that made all
+    32 slots identical."""
+    df = _docs(spark, [(1, "one two three four five six seven eight")])
+    sig = df.select(
+        dedup.minhash_signature(F.col("text"), n_hashes=8, shingle_n=2).alias("s")
+    ).collect()[0]["s"]
+    assert len(set(sig)) > 1, sig
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(20)
+    ]
+    near = [(i + 1000, t + " tail") for i, t in base]
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, base + near), n_hashes=32, bands=32,
+        shingle_n=3, jaccard_threshold=0.5,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 1000) for i in range(20)}
+
+
+def test_minhash_lsh_bucket_cap_bounds_degenerate_groups(spark):
+    """5000 identical short docs share every band bucket; without the cap the
+    within-bucket join is ~12.5M pairs × 32 bands. With the cap the call
+    completes quickly and emits no pairs (mega-groups belong to the O(n)
+    group representation, not the pairwise path)."""
+    n = 5000
+    rows = [(i, "same short doc body here") for i in range(n)]
+    t0 = time.monotonic()
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark, rows), n_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.5, max_bucket_size=100,
+    ).count()
+    wall = time.monotonic() - t0
+    assert out == 0
+    assert wall < 120, f"degenerate bucket not capped: {wall:.1f}s"
+    # the same corpus IS fully grouped by the O(n) representation
+    groups = dedup.duplicate_groups(_docs(spark, rows)).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == n
+
+
+def _brute_hamming_pairs(spark, df, hamming_max):
+    sh = dedup.with_simhash(df.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), "simhash"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h"),
+        )
+        .filter(F.col("h") <= hamming_max)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("hamming_max", [2, 3])
+def test_simhash_near_pairs_matches_bruteforce(spark, hamming_max):
+    """Pigeonhole banding must find EXACTLY the pairs the O(n²) cross-join
+    finds — banding affects cost, never the result set."""
+    rows = []
+    for i in range(15):
+        words = [f"tok{i}w{j}" for j in range(40)]
+        rows.append((i, " ".join(words)))
+        # near-dup: flip two tokens -> small Hamming distance
+        words[3], words[7] = "changed", "alsochanged"
+        rows.append((i + 1000, " ".join(words)))
+    df = _docs(spark, rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_pairs(df, hamming_max=hamming_max).collect()
+    }
+    want = _brute_hamming_pairs(spark, df, hamming_max)
+    assert got == want
+    # distance-0 pairs (exact copies) always survive any banding
+    dup = _docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    got_dup = dedup.simhash_near_pairs(dup, hamming_max=hamming_max).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got_dup} == {(1, 2)}
+
+
+def test_cosine_topk_guards_large_query_sets(spark):
+    from apollo_service_spark.operators.similarity import cosine_topk
+
+    vecs = spark.range(20).select(
+        F.col("id").alias("q_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("q_vec"),
+    )
+    corpus = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.3), F.lit(0.9)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(vecs, corpus, k=2, max_queries=10)

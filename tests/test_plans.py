@@ -101,3 +101,65 @@ def test_politeness_window_single_shuffle(spark, documents):
     exchange_nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
     assert len(exchange_nodes) == 1, plan
     assert "Window" in plan
+
+
+def _frontier_df(documents):
+    return documents.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")).alias("host"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+    )
+
+
+def test_iteration_rank_no_single_partition(spark, documents):
+    """The canonical fetch rank must not plan an Exchange SinglePartition —
+    a global Window.orderBy would funnel every selected URL of an iteration
+    through one task (VERDICT r1 'What's wrong' #1)."""
+    from apollo_service_spark.operators.politeness import rank_within_iteration
+
+    ranked = rank_within_iteration(_frontier_df(documents), n_partitions=8)
+    plan = _plan(ranked)
+    assert "Exchange SinglePartition" not in plan, plan
+    # value check: contiguous 1..n in (depth, url) order
+    rows = ranked.collect()
+    got = sorted((r["rank"], r["depth"], r["url"]) for r in rows)
+    want = sorted((r["depth"], r["url"]) for r in rows)
+    assert [(d, u) for _, d, u in got] == want
+    assert [rk for rk, _, _ in got] == list(range(1, len(rows) + 1))
+
+
+def test_cluster_domain_ids_no_single_partition(spark, documents):
+    """Domain-id assignment in clustering must be distributed (VERDICT r1
+    'What's wrong' #2)."""
+    from apollo_service_spark.operators.clustering import cluster_urls
+
+    urls = _frontier_df(documents).select("url")
+    plan = _plan(cluster_urls(urls, path_depth=2))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_events_recent_pushdown_and_partition_pruning(spark, tmp_path):
+    """S11: the ts-BETWEEN scan pushes the range predicate to parquet, and on
+    a date-partitioned layout the partition filter prunes directories."""
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # range predicate reaches the flat scan
+    flat = events.filter(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).select("event_id")
+    plan = _plan(flat)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan, plan
+    # date-partitioned write: the day partition column prunes at planning
+    part_dir = str(tmp_path / "events_by_day")
+    events.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+        part_dir
+    )
+    part = spark.read.parquet(part_dir).filter(
+        (F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-15")
+    )
+    pplan = _plan(part.select("event_id"))
+    assert "PartitionFilters" in pplan and "day" in pplan.split("PartitionFilters")[1][:200], pplan
+    n_total = spark.read.parquet(part_dir).count()
+    n_pruned = part.count()
+    assert 0 < n_pruned < n_total
