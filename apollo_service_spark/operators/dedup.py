@@ -64,14 +64,23 @@ def _salted_hash(seed: int):
 
 def minhash_signature(text_col, n_hashes: int = 32, shingle_n: int = 3):
     """array<bigint> of n_hashes minhash values (min over per-permutation
-    salted xxhash64 of each shingle), all JVM-side."""
+    salted xxhash64 of each shingle), all JVM-side.
+
+    Built as ONE ``aggregate`` pass with an elementwise ``zip_with``/``least``
+    reducer rather than n_hashes separate ``array_min(transform(...))``
+    columns — the latter makes an expression tree n_hashes× larger, which
+    showed up as multi-second Catalyst/codegen time per query at small data
+    sizes (the hash work per shingle is identical either way).
+    """
     sh = textstats.shingles(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, _salted_hash(i)))
-            for i in range(n_hashes)
-        ]
-    )
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("bigint") for _ in range(n_hashes)])
+
+    def step(acc, s):
+        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    sig = F.aggregate(sh, init, step)
     return F.when(F.size(sh) > 0, sig)
 
 
@@ -103,30 +112,36 @@ def minhash_lsh_pairs(
         textstats.shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.col("sig").isNotNull())
 
-    # band key = hash of the band's slice of the signature
+    # band key = hash of the band's slice of the signature (the signature
+    # element itself when rows_per_band == 1). Only (id, band, bucket) enters
+    # the banding shuffle — carrying the shingle arrays here would replicate
+    # every document's shingles ×bands through the exchange; shingles are
+    # joined back once per UNIQUE candidate pair below.
+    if rows_per_band == 1:
+        bucket_of = lambda b: F.element_at("sig", b + 1)  # noqa: E731
+    else:
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            )
+        )
     banded = sigs.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), bucket_of(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         small = (
@@ -137,29 +152,33 @@ def minhash_lsh_pairs(
         )
         banded = banded.join(small, ["band", "bucket"], "left_semi")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # verify branch reads the docs again WITHOUT the signature expressions —
+    # the 32 array_min transforms are the expensive part of `sigs`
+    shingle_sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(textstats.shingles(F.col(text_col), shingle_n)).alias("shs"),
+    ).filter(F.size("shs") > 0)
+    verified = (
+        cand.join(shingle_sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

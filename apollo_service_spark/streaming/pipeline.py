@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import urlkit
-from ..functions.udfs import extract_text_udf
+from ..functions.udfs import extract_doc_udf
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -33,14 +33,24 @@ def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
 
 
 def extraction_stream(pages: DataFrame) -> DataFrame:
-    """Incremental HTML→text extraction + URL enrichment."""
+    """Incremental HTML→text extraction + URL enrichment + metadata sidecar
+    columns (S8): ``doc_id = sha2(text, 256)`` and a sanitized display name,
+    the reference scraper's document_id/name fields (scraper.py:303-330)."""
     return (
         pages.filter(F.col("html").isNotNull())
-        .withColumn("extracted", extract_text_udf(F.col("html")))
+        .withColumn("doc", extract_doc_udf(F.col("html")))
+        .withColumn("extracted", F.col("doc.text"))
+        .withColumn("doc_id", F.sha2(F.col("doc.text"), 256))
+        .withColumn(
+            "doc_name", urlkit.sanitize_filename(F.col("doc.clean_title"))
+        )
         .withColumn("host", urlkit.url_host(F.col("url")))
         .withColumn("category", urlkit.categorize(F.col("url")))
         .withColumn("year", urlkit.extract_year(F.col("url")))
-        .select("url", "host", "category", "year", "warc_ts", "extracted")
+        .select(
+            "url", "host", "category", "year", "warc_ts",
+            "extracted", "doc_id", "doc_name",
+        )
     )
 
 

@@ -85,8 +85,16 @@ def test_streaming_extraction_incremental(spark, small_corpus_spark, tmp_path):
 
     out = spark.read.parquet(out_dir)
     assert set(out.columns) == {
-        "url", "host", "category", "year", "warc_ts", "extracted"
+        "url", "host", "category", "year", "warc_ts", "extracted",
+        "doc_id", "doc_name",
     }
+    # S8 metadata invariant: doc_id is the sha256 hex of the extracted text
+    import hashlib
+
+    for r in out.select("extracted", "doc_id").collect():
+        assert r["doc_id"] == hashlib.sha256(
+            r["extracted"].encode("utf-8")
+        ).hexdigest()
 
 
 def test_windowed_fetch_metrics_batch_semantics(spark, small_corpus_spark):
