@@ -269,10 +269,27 @@ def categorize(url: Column) -> Column:
 
     social-media keyword → 'social_media'; else no bank keyword → 'misc';
     else file extension → 'file'; else 'bank'.
+
+    The reference's patterns are case-insensitive regex *searches*, so plain
+    keywords decompose into ``contains`` on the lowered url (byte scans, no
+    regex engine) — only the dotted keywords keep regex-dot semantics via one
+    small rlike. The file-extension regex is reached only for bank-keyword
+    urls (CaseWhen evaluates lazily per row).
     """
+    lower = F.lower(url)
+    literal_social = [k for k in SOCIAL_MEDIA_KEYWORDS if "." not in k]
+    dotted_social = [k for k in SOCIAL_MEDIA_KEYWORDS if "." in k]
+    social = F.lit(False)
+    for kw in literal_social:
+        social = social | lower.contains(kw)
+    if dotted_social:
+        social = social | url.rlike(_CI + "(" + "|".join(dotted_social) + ")")
+    bank = F.lit(False)
+    for kw in BANK_KEYWORDS:
+        bank = bank | lower.contains(kw)
     return (
-        F.when(url.rlike(_CI + _SOCIAL_RE), F.lit("social_media"))
-        .when(~url.rlike(_CI + _BANK_RE), F.lit("misc"))
+        F.when(social, F.lit("social_media"))
+        .when(~bank, F.lit("misc"))
         .when(url.rlike(_CI + _FILE_RE), F.lit("file"))
         .otherwise(F.lit("bank"))
     )

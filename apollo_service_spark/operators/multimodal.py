@@ -26,18 +26,58 @@ MEDIA_SCHEMA = (
 
 META_SCHEMA = (
     "media_id bigint, kind string, mime string, n_bytes bigint, "
-    "format string, width int, height int"
+    "format string, width int, height int, duration_ms int"
 )
 
 FEATURE_SCHEMA = "media_id bigint, feature array<float>, feature_dim int"
 
 
-def _sniff_format(payload: bytes) -> tuple:
-    """(format, width, height) from magic bytes; (-1,-1) when unknown.
+def _jpeg_dims(payload: bytes) -> tuple:
+    """Walk JPEG segment markers to the first SOFn frame header (pure
+    stdlib — the dimensions live at a variable offset, unlike PNG/GIF)."""
+    i, n = 2, len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: no frame header found
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return int(width), int(height)
+        i += 2 + seg_len
+    return -1, -1
 
-    Only PNG carries its dimensions in a fixed header position (IHDR); for
-    the rest we record the container format and leave dims unknown — a real
-    decoder would fill them in.
+
+def _wav_duration_ms(payload: bytes) -> int:
+    """RIFF/WAVE fmt-chunk walk: duration = data bytes / byte rate."""
+    i, n = 12, len(payload)
+    byte_rate, data_size = None, None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 20 <= n:
+            byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if byte_rate and data_size is not None:
+        return int(data_size * 1000 / byte_rate)
+    return -1
+
+
+def _sniff_format(payload: bytes) -> tuple:
+    """(format, width, height) from container headers; (-1,-1) when unknown.
+
+    PNG (IHDR), GIF (logical screen descriptor) and JPEG (SOF marker walk)
+    dimensions are parsed for real from the bytes; mp4/wav record the
+    container format (a real demuxer would fill in dims/streams).
     """
     if payload is None or len(payload) < 12:
         return "unknown", -1, -1
@@ -47,7 +87,8 @@ def _sniff_format(payload: bytes) -> tuple:
             return "png", int(width), int(height)
         return "png", -1, -1
     if payload[:3] == b"\xff\xd8\xff":
-        return "jpeg", -1, -1
+        width, height = _jpeg_dims(payload)
+        return "jpeg", width, height
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         width, height = struct.unpack("<HH", payload[6:10])
         return "gif", int(width), int(height)
@@ -63,7 +104,7 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, widths, heights, sizes = [], [], [], []
+            fmts, widths, heights, sizes, durs = [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else None
                 fmt, w, h = _sniff_format(raw)
@@ -71,6 +112,7 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 widths.append(w)
                 heights.append(h)
                 sizes.append(len(raw) if raw is not None else 0)
+                durs.append(_wav_duration_ms(raw) if fmt == "wav" else -1)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -80,6 +122,7 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     "format": pd.Series(fmts, dtype=object),
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
                 }
             )
 

@@ -22,13 +22,37 @@ def _png(width, height):
     )
 
 
+def _jpeg(width, height):
+    """Minimal JPEG: SOI, APP0, DQT (skipped), SOF0 frame header, SOS."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xda" + b"\x00" * 8
+
+
+def _wav(byte_rate, data_bytes):
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    )
+    data = b"data" + struct.pack("<I", data_bytes) + b"\x00" * data_bytes
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _media_df(spark):
     rows = [
         (1, "image", bytearray(_png(640, 480)), "image/png"),
-        (2, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 64), "image/jpeg"),
+        (2, "image", bytearray(_jpeg(321, 123)), "image/jpeg"),
         (3, "image", bytearray(b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 16), "image/gif"),
         (4, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 1_000_000), "video/mp4"),
-        (5, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt " + b"\x00" * 32), "audio/wav"),
+        (5, "audio", bytearray(_wav(8000, 16000)), "audio/wav"),
         (6, "image", None, "image/png"),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -37,10 +61,10 @@ def _media_df(spark):
 def test_decode_media_meta(spark):
     meta = {r["media_id"]: r for r in decode_media_meta(_media_df(spark)).collect()}
     assert meta[1]["format"] == "png" and meta[1]["width"] == 640 and meta[1]["height"] == 480
-    assert meta[2]["format"] == "jpeg"
+    assert meta[2]["format"] == "jpeg" and meta[2]["width"] == 321 and meta[2]["height"] == 123
     assert meta[3]["format"] == "gif" and meta[3]["width"] == 12
     assert meta[4]["format"] == "mp4"
-    assert meta[5]["format"] == "wav"
+    assert meta[5]["format"] == "wav" and meta[5]["duration_ms"] == 2000
     assert meta[6]["format"] == "unknown" and meta[6]["n_bytes"] == 0
 
 
