@@ -65,7 +65,9 @@ class PartitionedBloomSeenStore:
         expected_urls: int = 1_000_000,
         fpp: float = 0.01,
         salt: int = 42,
+        compact_above: int = 16,
     ):
+        self.compact_above = compact_above
         self.root = os.path.join(root, "seen_bloom")
         self.urls_root = os.path.join(root, "seen_urls")
         os.makedirs(self.root, exist_ok=True)
@@ -102,10 +104,14 @@ class PartitionedBloomSeenStore:
         exclusive writer per blob; atomic replace keeps readers consistent.
         The exact urls land as one immutable parquet file per (pid, update) —
         append-only, so a concurrent/crashed reader never sees a torn file.
-        Returns number of partitions touched.
+        When a pid accumulates more than ``compact_above`` delta files, the
+        writer task merges them into one (write-new-then-delete-old: a crash
+        in between leaves duplicate rows, which membership checks don't
+        care about — never a lost url). Returns number of partitions touched.
         """
         n_bits, k = self.bits_per_partition, self.k
         root, urls_root = self.root, self.urls_root
+        compact_above = self.compact_above
 
         keyed = delta.select(
             F.col("url"),
@@ -130,6 +136,16 @@ class PartitionedBloomSeenStore:
                 fname + ".tmp",
             )
             os.replace(fname + ".tmp", fname)
+            existing = sorted(glob.glob(os.path.join(pid_dir, "*.parquet")))
+            if len(existing) > compact_above:
+                merged = pa.concat_tables(pq.read_table(f) for f in existing)
+                cname = os.path.join(
+                    pid_dir, f"compact-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(merged, cname + ".tmp")
+                os.replace(cname + ".tmp", cname)
+                for f in existing:
+                    os.remove(f)
             tmp = path + ".tmp"
             bloom.bitmap.tofile(tmp)
             os.replace(tmp, path)

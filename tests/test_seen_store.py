@@ -72,6 +72,42 @@ def test_crawl_equivalence_partitioned_backend(
     }
 
 
+def test_filter_new_exact_membership(spark, tmp_path):
+    """filter_new = candidates ∖ seen, exactly — bloom false positives are
+    resolved against the pid-local exact url files inside the task."""
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=4, expected_urls=2000
+    )
+    seen = [f"https://h{i % 3}.com/s{i}" for i in range(1500)]
+    store.update(_urls_df(spark, seen))
+    fresh = [f"https://h{i % 3}.com/f{i}" for i in range(700)]
+    cand = _urls_df(spark, seen[:300] + fresh)
+    got = {r["url"] for r in store.filter_new(cand).collect()}
+    assert got == set(fresh)
+
+
+def test_update_compaction_preserves_membership(spark, tmp_path):
+    import glob
+    import os
+
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=2, expected_urls=2000, compact_above=4
+    )
+    all_urls = []
+    for batch in range(10):
+        urls = [f"https://h{i % 2}.com/b{batch}/p{i}" for i in range(50)]
+        all_urls += urls
+        store.update(_urls_df(spark, urls))
+    # compaction kept the per-pid file count bounded
+    for pid_dir in glob.glob(os.path.join(str(tmp_path), "seen_urls", "pid=*")):
+        assert len(glob.glob(os.path.join(pid_dir, "*.parquet"))) <= 5
+    # and membership is intact
+    assert store.filter_new(_urls_df(spark, all_urls)).count() == 0
+    assert store.filter_new(
+        _urls_df(spark, [f"https://h0.com/new{i}" for i in range(100)])
+    ).count() == 100
+
+
 def test_stale_superset_bloom_is_safe(spark, tmp_path):
     """Bloom ahead of the committed seen set (crash between blob update and
     manifest commit) must not lose urls: they route to the exact check."""
