@@ -284,18 +284,31 @@ class FrontierEngine:
                 frontier, self.politeness, cfg.default_budget
             )
             # deterministic truncation at the page limit (canonical rule for
-            # the reference's racy max_pages stop, apollo.py:538-547)
-            ranked_all = politeness_ops.rank_within_iteration(
-                selected, cfg.n_partitions
-            )
+            # the reference's racy max_pages stop, apollo.py:538-547). The
+            # within-iteration rank is DERIVED data — (iteration, depth, url)
+            # totally orders the crawl — so the hot loop only materializes it
+            # when the truncation can actually bind (remaining < batch bound);
+            # readers get ranks from crawl_log_df, recomputed distributed.
             if cfg.max_pages is not None:
                 remaining = cfg.max_pages - pages_fetched
-                overflow = ranked_all.filter(F.col("rank") > remaining).drop("rank")
-                ranked = ranked_all.filter(F.col("rank") <= remaining)
-                carryover = carryover.unionByName(overflow.select(*_FRONTIER_SCHEMA))
+                if remaining < frontier_size:
+                    ranked_all = politeness_ops.rank_within_iteration(
+                        selected, cfg.n_partitions
+                    )
+                    overflow = ranked_all.filter(
+                        F.col("rank") > remaining
+                    ).drop("rank")
+                    ranked = ranked_all.filter(
+                        F.col("rank") <= remaining
+                    ).drop("rank")
+                    carryover = carryover.unionByName(
+                        overflow.select(*_FRONTIER_SCHEMA)
+                    )
+                else:
+                    ranked = selected
             else:
-                ranked = ranked_all
-            ranked = ranked.persist()
+                ranked = selected
+            ranked = ranked.select(*_FRONTIER_SCHEMA).persist()
             carryover = carryover.select(*_FRONTIER_SCHEMA)
 
             # batch stats ride the commit writes as observed metrics — no
@@ -344,7 +357,6 @@ class FrontierEngine:
                 "host",
                 "depth",
                 F.lit(iteration).alias("iteration"),
-                "rank",
                 "status",
                 "is_document",
             )
@@ -425,5 +437,28 @@ class FrontierEngine:
         )
 
 def crawl_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
-    """The accumulated canonical crawl log: (url, iteration, rank, ...)."""
-    return store.read_accumulated(spark, "crawl_log")
+    """The accumulated canonical crawl log: (url, iteration, rank, ...).
+
+    ``rank`` (the canonical within-iteration fetch order) is derived on read
+    rather than stored: (iteration, depth, url) totally orders the crawl, so
+    the superstep never pays a global ranking pass. Derivation is
+    distributed — one global row_number over (iteration, depth, url) (no
+    single-partition exchange) minus broadcast per-iteration offsets.
+    """
+    log = store.read_accumulated(spark, "crawl_log")
+    if log is None:
+        return None
+    from .ranking import global_row_number
+
+    ranked = global_row_number(
+        log, ["iteration", "depth", "url"], rank_col="_grn"
+    )
+    offsets = (
+        ranked.groupBy("iteration")
+        .agg(F.min("_grn").alias("_base"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "iteration")
+        .withColumn("rank", (F.col("_grn") - F.col("_base") + 1).cast("int"))
+        .drop("_grn", "_base")
+    )
