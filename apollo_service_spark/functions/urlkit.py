@@ -253,6 +253,19 @@ def is_ignored(url: Column, extra_patterns: list | None = None) -> Column:
     return cond
 
 
+def is_redirect_404(url: Column, final_url: Column) -> Column:
+    """The scraper's redirect-to-404 heuristic (scraper.py:193-198): a fetch
+    is treated as a 404 when the FINAL url (after redirects) contains
+    ``/404``, or when the request actually redirected (final != requested)
+    and the final url contains ``not-found`` or ``error``. Exact-substring,
+    case-SENSITIVE, matching the reference's ``in`` checks. Null final_url
+    (no redirect information) is never a 404."""
+    f = F.coalesce(final_url, url)
+    return f.contains("/404") | (
+        (f != url) & (f.contains("not-found") | f.contains("error"))
+    )
+
+
 def in_domain(url: Column, base_host: str) -> Column:
     """Domain restriction (apollo.py:235-237): netloc equality, exact."""
     return url_host(url) == F.lit(base_host)

@@ -183,11 +183,17 @@ def cluster_urls(
     # from the distributed ranker — dense_rank over Window.orderBy would be a
     # single-partition sort over ALL distinct domains (millions on a real web
     # corpus); on the distinct set row_number == dense_rank.
+    #
+    # No broadcast hint on the id join: a real web corpus has millions of
+    # domains (many-MB dim), and `merged` leaves its groupBy already
+    # hash-partitioned on domain, so the shuffle join re-uses that layout.
+    # When the dim is genuinely runtime-small, AQE converts to broadcast on
+    # actual stats — the right call at every scale, made with data.
     domain_ids = global_row_number(
         merged.select("domain").distinct(), ["domain"], rank_col="_did"
     ).withColumn("domain_id", F.col("_did").cast("string")).drop("_did")
     return (
-        merged.join(F.broadcast(domain_ids), "domain")
+        merged.join(domain_ids, "domain")
         .withColumn(
             "cluster_id",
             F.concat_ws(".", F.col("domain_id"), F.col("pattern_order").cast("string")),

@@ -92,18 +92,23 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by exact shingle
     Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    ``max_bucket_size`` caps the within-bucket self-join: one degenerate
-    band value (boilerplate pages, empty-ish docs) would otherwise go
-    quadratic and pin a superstep. Oversized buckets are dropped from the
-    pairwise path — their members are, by construction, mutual near-dups at
-    enormous multiplicity, which the exact/group representation
-    (``duplicate_groups`` / ``simhash_dup_groups``) handles in O(n) instead
-    of emitting O(n²) pairs. Set ``max_bucket_size=None`` to disable.
+    ``max_bucket_size`` (opt-in) caps the within-bucket self-join: one
+    degenerate band value (boilerplate pages, empty-ish docs) would
+    otherwise go quadratic and pin a superstep. The cap TRADES RECALL FOR A
+    RUNTIME BOUND: a shared bucket is probabilistic evidence, not proof —
+    with rows_per_band=1 the bucket key is a single minhash value, and on a
+    real corpus thousands of non-duplicates can share one min-shingle — so a
+    true pair whose only agreeing bands are oversized is lost when the cap
+    is set. Default None keeps LSH's full recall guarantee (miss probability
+    (1-J^rows_per_band)^bands); production pipelines that prefer bounded
+    superstep time over the last fraction of recall set an explicit cap and
+    route known mega-duplicate families through the O(n) group
+    representations (``duplicate_groups`` / ``simhash_dup_groups``) first.
     """
     rows_per_band = n_hashes // bands
     sigs = docs.select(
@@ -276,7 +281,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hamming_max: int = 3,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``hamming_max`` between 64-bit
     simhashes, via pigeonhole banding.
@@ -288,8 +293,10 @@ def simhash_near_pairs(
     buckets (candidates ∝ collisions, never n²), then verified with
     ``bit_count(a XOR b)``. Returns (id_a, id_b, hamming), id_a < id_b.
 
-    ``max_bucket_size`` guards degenerate bands exactly as in
-    ``minhash_lsh_pairs``.
+    ``max_bucket_size`` (opt-in, default None) guards degenerate bands with
+    the same recall-for-runtime trade as in ``minhash_lsh_pairs`` — here the
+    pigeonhole guarantee ("agree on ≥1 band") is likewise voided for pairs
+    whose only agreeing bands are oversized.
     """
     n_bands = hamming_max + 1
     width = 64 // n_bands

@@ -267,18 +267,20 @@ class FrontierEngine:
             if frontier_size == 0:
                 reason = "frontier_exhausted"
                 iteration -= 1
+                frontier.unpersist()
                 break
             if cfg.max_pages is not None and pages_fetched >= cfg.max_pages:
                 reason = "max_pages"
                 iteration -= 1
+                frontier.unpersist()
                 break
             if cfg.max_links is not None and links_processed >= cfg.max_links:
                 reason = "max_links"
                 iteration -= 1
+                frontier.unpersist()
                 break
 
             t0 = time.monotonic()
-            frontier = frontier.persist()
 
             selected, carryover = politeness_ops.select_batch(
                 frontier, self.politeness, cfg.default_budget
@@ -423,11 +425,13 @@ class FrontierEngine:
             next_frontier.unpersist()
 
             # read state back from the committed snapshot: truncates lineage
-            frontier = store.read(spark, "frontier", iteration)
+            # (persisted here, once — the loop top never re-persists)
+            frontier = store.read(spark, "frontier", iteration).persist()
             if self.seen_store is None:
                 seen = store.read_accumulated(spark, "seen_delta")
         else:
             reason = "max_iterations"
+            frontier.unpersist()
 
         return CrawlResultState(
             iterations=iteration - start_iter + 1 if iteration >= start_iter else 0,

@@ -17,17 +17,25 @@ the identical 1-based rank in three distributed steps:
    nested-loop self-join (tiny × tiny) so the final plan contains NO
    ``Exchange SinglePartition`` anywhere (asserted by tests/test_plans.py).
 
-Determinism: both branches (counts and ranks) recompute the same range
-exchange; RangePartitioner's reservoir sampling is seeded per-partition
-(deterministic), so partition ids agree between the branches even without
-caching. The output rank is byte-identical to
-``row_number() OVER (ORDER BY cols)``.
+Determinism: correctness of the offsets requires the counts branch and the
+window branch to see IDENTICAL range-partition ids. The range-partitioned
+frame is therefore persisted: both branches then scan one InMemoryRelation
+over one ShuffledRowRDD instance, whose RangePartitioner bounds were sampled
+exactly once — pid agreement no longer depends on Spark's exchange-reuse
+rule firing (``spark.sql.exchange.reuse`` / AQE stage reuse), which is an
+optimization, not a guarantee. The cache is scoped to the query that
+consumes the result; callers running inside a long-lived session can
+``unpersist()`` the returned frame's lineage when done. The output rank is
+byte-identical to ``row_number() OVER (ORDER BY cols)`` and is emitted as
+``bigint`` — an int rank would silently wrap past 2^31 rows, well inside
+this engine's 10^10-frontier framing.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_row_number(
@@ -36,16 +44,18 @@ def global_row_number(
     rank_col: str = "rank",
     n_partitions: int = 32,
 ) -> DataFrame:
-    """1-based global row_number over the total order ``order_cols``,
-    computed without any single-partition exchange.
+    """1-based global row_number (bigint) over the total order
+    ``order_cols``, computed without any single-partition exchange.
 
     ``order_cols`` may be column names or Column expressions; the order must
     be total (ties would make the rank nondeterministic, exactly as with a
     plain window).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = df.repartitionByRange(n_partitions, *cols).withColumn(
-        "_rpid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("_rpid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     counts = part.groupBy("_rpid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -63,6 +73,6 @@ def global_row_number(
     return (
         part.withColumn("_r", F.row_number().over(win))
         .join(F.broadcast(offsets), "_rpid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_r")).cast("int"))
+        .withColumn(rank_col, (F.col("_off") + F.col("_r")).cast("bigint"))
         .drop("_rpid", "_r", "_off")
     )

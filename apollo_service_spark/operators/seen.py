@@ -31,6 +31,28 @@ frontier, and any url the superset wrongly flags as seen is one the crawl
 already scheduled (it is also in the exclude set) — never a lost URL
 (tests/test_seen_store.py locks this in).
 
+Concurrency contract (task retries / zombie attempts): Spark can run two
+attempts of the same ``applyInPandas`` group — a hung attempt's retry
+finishes, the stage moves on, and the original attempt completes LATER.
+Three rules make every interleaving safe:
+
+* **delta url files are append-only and uniquely named** — a duplicate
+  attempt writes a second file with the same rows, which membership checks
+  don't care about; compaction is write-new-then-delete-old, and every
+  read/delete of a delta file tolerates the file vanishing under it (a
+  concurrent compaction subsumed it);
+* **blobs are epoch-versioned, never overwritten in place**
+  (``pid=N-epoch=K.bin``): readers take the highest epoch, so a zombie
+  writer from superstep *k* completing after superstep *k+1*'s write cannot
+  regress the bitmap below the url files — it only re-creates an older-epoch
+  file that readers ignore and the next writer garbage-collects. (An
+  in-place ``os.replace`` here would be a REAL bug, not just noise: a
+  regressed bloom lets ``filter_new`` skip the exact check for a seen url.)
+* **speculative execution must stay off for the writer stage**
+  (``spark.speculation`` — off by default; the engine's sessions never
+  enable it), keeping concurrent same-group attempts a rare retry case
+  rather than the norm.
+
 On a real cluster the blobs live on the shared store (S3/HDFS) and each task
 reads/writes only its own ~MB-scale blob; nothing bloom-shaped ever crosses
 the driver. Size ``n_partitions`` so accumulated/P fits a task: at 10^10 urls
@@ -39,8 +61,10 @@ and 4096 pids a partition holds ~2.4M urls (~200 MB raw, ~50 MB parquet).
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
+import re
 import uuid
 
 import numpy as np
@@ -55,6 +79,32 @@ from .bloom import BloomFilter, optimal_bits, optimal_k
 
 _H1_SALT = 0x9E3779B9
 _H2_SALT = 0x85EBCA6B
+
+_BLOB_RE = re.compile(r"pid=(\d+)-epoch=(\d+)\.bin$")
+
+
+def _latest_blob(root: str, pid: int) -> str | None:
+    """Highest-epoch blob for a pid (readers ignore zombie re-creations of
+    older epochs); returns None when the pid has no blob yet."""
+    best, best_epoch = None, -1
+    for path in glob.glob(os.path.join(root, f"pid={pid:05d}-epoch=*.bin")):
+        m = _BLOB_RE.search(path)
+        if m and int(m.group(2)) > best_epoch:
+            best, best_epoch = path, int(m.group(2))
+    return best
+
+
+def _read_delta_tables(pid_dir: str, columns=None):
+    """Read every delta parquet in a pid dir, tolerating files that a
+    concurrent compaction deletes between glob and read (their rows live on
+    in the compacted file, which the same glob already picked up)."""
+    tables = []
+    for f in sorted(glob.glob(os.path.join(pid_dir, "*.parquet"))):
+        try:
+            tables.append(pq.read_table(f, columns=columns))
+        except FileNotFoundError:
+            continue
+    return tables
 
 
 class PartitionedBloomSeenStore:
@@ -83,16 +133,15 @@ class PartitionedBloomSeenStore:
     def pid_col(self, host_col) -> object:
         return urlkit.host_salted_partition(host_col, self.n_partitions, self.salt)
 
-    def _blob_path(self, pid: int) -> str:
-        return os.path.join(self.root, f"pid={pid:05d}.bin")
-
     def reset(self) -> None:
         """Drop all blobs and exact url files (fresh-crawl start on a root
         that may hold a previous crawl's seen state)."""
         for path in glob.glob(os.path.join(self.root, "pid=*.bin")):
-            os.remove(path)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
         for path in glob.glob(os.path.join(self.urls_root, "pid=*", "*.parquet")):
-            os.remove(path)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
 
     # -- update --------------------------------------------------------------
 
@@ -122,11 +171,13 @@ class PartitionedBloomSeenStore:
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(pdf["pid"].iloc[0])
-            path = os.path.join(root, f"pid={pid:05d}.bin")
             bloom = BloomFilter(np.zeros(n_bits // 8, dtype=np.uint8), n_bits, k)
             bloom.add_batch(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
-            if os.path.exists(path):
-                bloom.bitmap |= np.fromfile(path, dtype=np.uint8)
+            prev = _latest_blob(root, pid)
+            epoch = 0
+            if prev is not None:
+                bloom.bitmap |= np.fromfile(prev, dtype=np.uint8)
+                epoch = int(_BLOB_RE.search(prev).group(2)) + 1
             pid_dir = os.path.join(urls_root, f"pid={pid:05d}")
             os.makedirs(pid_dir, exist_ok=True)
             fname = os.path.join(pid_dir, f"delta-{uuid.uuid4().hex}.parquet")
@@ -138,17 +189,28 @@ class PartitionedBloomSeenStore:
             os.replace(fname + ".tmp", fname)
             existing = sorted(glob.glob(os.path.join(pid_dir, "*.parquet")))
             if len(existing) > compact_above:
-                merged = pa.concat_tables(pq.read_table(f) for f in existing)
+                tables = _read_delta_tables(pid_dir)
                 cname = os.path.join(
                     pid_dir, f"compact-{uuid.uuid4().hex}.parquet"
                 )
-                pq.write_table(merged, cname + ".tmp")
+                pq.write_table(pa.concat_tables(tables), cname + ".tmp")
                 os.replace(cname + ".tmp", cname)
                 for f in existing:
-                    os.remove(f)
-            tmp = path + ".tmp"
+                    # a racing attempt's compaction may have removed f already
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(f)
+            # epoch-versioned blob: never replace in place (see module
+            # docstring — a zombie attempt overwriting a newer blob would
+            # regress the bloom below the url files)
+            path = os.path.join(root, f"pid={pid:05d}-epoch={epoch:06d}.bin")
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
             bloom.bitmap.tofile(tmp)
             os.replace(tmp, path)
+            for old in glob.glob(os.path.join(root, f"pid={pid:05d}-epoch=*.bin")):
+                m = _BLOB_RE.search(old)
+                if m and int(m.group(2)) < epoch:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(old)
             return pd.DataFrame({"pid": [pid], "n": [len(pdf)]})
 
         touched = (
@@ -182,9 +244,9 @@ class PartitionedBloomSeenStore:
 
         def check(pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(pdf["_pid"].iloc[0])
-            path = os.path.join(root, f"pid={pid:05d}.bin")
+            path = _latest_blob(root, pid)
             pdf = pdf.drop(columns=["_pid"])
-            if not os.path.exists(path):
+            if path is None:
                 pdf["_maybe_seen"] = False
                 return pdf
             bloom = BloomFilter(np.fromfile(path, dtype=np.uint8), n_bits, k)
@@ -208,6 +270,14 @@ class PartitionedBloomSeenStore:
         the only exchange is the groupBy-pid of the candidate delta, on the
         same salted-host key the rest of the frontier state uses. Correctness
         is exact regardless of bloom false positives.
+
+        Membership is resolved on the persisted int64 hash PAIRS, fully
+        vectorized: ``np.isin`` of a combined (h1,h2) key against the pid's
+        accumulated keys, with a url string comparison ONLY for rows whose
+        combined key collides (≈ the true duplicates plus a ~2^-64 accident
+        rate). At the store's stated sizing (10^10 urls / 4096 pids ≈ 2.4M
+        urls per pid) this loads a 40 MB int64 array per task instead of
+        materializing a ~300 MB Python set of url strings per superstep.
         """
         n_bits, k = self.bits_per_partition, self.k
         root, urls_root = self.root, self.urls_root
@@ -222,27 +292,47 @@ class PartitionedBloomSeenStore:
 
         def check(pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(pdf["_pid"].iloc[0])
-            blob = os.path.join(root, f"pid={pid:05d}.bin")
+            blob = _latest_blob(root, pid)
             out_cols = [c for c in pdf.columns if c not in ("_h1", "_h2", "_pid")]
-            if not os.path.exists(blob):
+            if blob is None:
                 return pdf[out_cols]
             bloom = BloomFilter(np.fromfile(blob, dtype=np.uint8), n_bits, k)
             maybe = bloom.might_contain(
                 pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
             )
+            keep = np.ones(len(pdf), dtype=bool)
             if maybe.any():
-                files = sorted(
-                    glob.glob(os.path.join(urls_root, f"pid={pid:05d}", "*.parquet"))
-                )
-                seen_urls: set = set()
-                for f in files:
-                    seen_urls.update(
-                        pq.read_table(f, columns=["url"]).column("url").to_pylist()
-                    )
-                hits = pdf["url"].isin(seen_urls).to_numpy()
-                keep = ~(maybe & hits)
-            else:
-                keep = np.ones(len(pdf), dtype=bool)
+                pid_dir = os.path.join(urls_root, f"pid={pid:05d}")
+                tables = _read_delta_tables(pid_dir, columns=["h1", "h2"])
+                if tables:
+                    seen = pa.concat_tables(tables)
+                    # combined 64-bit key of the (h1,h2) pair — wraparound
+                    # multiply-xor mixes both words; a pair-key collision
+                    # between DIFFERENT urls needs a joint 64-bit accident,
+                    # resolved below with a string check on the hits only
+                    mix = np.uint64(0xFF51AFD7ED558CCD)
+                    seen_key = (
+                        seen.column("h1").to_numpy().astype(np.uint64) * mix
+                    ) ^ seen.column("h2").to_numpy().astype(np.uint64)
+                    cand_key = (
+                        pdf["_h1"].to_numpy().astype(np.uint64) * mix
+                    ) ^ pdf["_h2"].to_numpy().astype(np.uint64)
+                    hits = maybe & np.isin(cand_key, seen_key)
+                    if hits.any():
+                        # exact resolve: url strings for the hit keys only
+                        url_tables = _read_delta_tables(pid_dir, columns=["h1", "h2", "url"])
+                        seen_all = pa.concat_tables(url_tables)
+                        sk = (
+                            seen_all.column("h1").to_numpy().astype(np.uint64) * mix
+                        ) ^ seen_all.column("h2").to_numpy().astype(np.uint64)
+                        relevant = np.isin(sk, cand_key[hits])
+                        seen_urls = set(
+                            seen_all.column("url")
+                            .filter(pa.array(relevant))
+                            .to_pylist()
+                        )
+                        confirmed = pdf["url"].isin(seen_urls).to_numpy()
+                        keep = ~(hits & confirmed)
             return pdf.loc[keep, out_cols]
 
         return keyed.groupBy("_pid").applyInPandas(check, schema=out_schema)

@@ -253,6 +253,62 @@ WHERE NOT EXISTS (
   WHERE r.host = p.host AND p.path LIKE r.prefix || '%')"""
 
 
+# query-stripped path fragment (branch 1 is the only one with a '?query'):
+# referenced by the final_url fragment instead of urlkit.url_path(url) so the
+# synthesized-url CASE is not inlined through a string-split expression —
+# that inlining blew whole-stage codegen past the 64 KB method limit
+PATH_NOQ_SQL = """CASE doc_id % 7
+  WHEN 0 THEN '/reports/annual-report-' || CAST(1990 + doc_id % 40 AS STRING) || '.pdf'
+  WHEN 1 THEN '/files/statement.xlsx'
+  WHEN 2 THEN '/admin/login'
+  WHEN 3 THEN '/sec' || CAST(doc_id % 5 AS STRING) || '/p' || CAST(doc_id AS STRING)
+  WHEN 4 THEN '/media/photo' || CAST(doc_id AS STRING) || '.jpg'
+  WHEN 5 THEN '/go/facebook-page'
+  ELSE '/falah/deals/' || CAST(doc_id % 13 AS STRING)
+END"""
+
+# final_url fragment for the scraper's redirect-to-404 rule (scraper.py:
+# 193-198): one branch per outcome — no redirect, /404 target, not-found
+# redirect, error redirect, harmless redirect, and no redirect info (NULL)
+FINAL_URL_SQL = f"""CASE doc_id % 6
+  WHEN 0 THEN {URL_SQL}
+  WHEN 1 THEN 'https://' || {HOST_SQL} || '/404'
+  WHEN 2 THEN 'https://' || {HOST_SQL} || '/not-found'
+  WHEN 3 THEN 'https://' || {HOST_SQL} || '/error/500'
+  WHEN 4 THEN 'https://' || {HOST_SQL} || '/moved' || ({PATH_NOQ_SQL})
+  ELSE NULL
+END"""
+
+
+def q_redirect_404_filter(spark, sf_dir):
+    """F6 (scraper variant): drop fetches whose FINAL url is 404-like —
+    final contains '/404', or an actual redirect whose target contains
+    'not-found'/'error' (scraper.py:193-198). Returns the surviving urls
+    (final_url blanked to '' where no redirect info exists — the harness's
+    order-insensitive row sort can't compare NULL against strings)."""
+    urls = _urls_df(spark, sf_dir)
+    paged = urls.withColumn("final_url", F.expr(FINAL_URL_SQL))
+    return (
+        paged.filter(~urlkit.is_redirect_404(F.col("url"), F.col("final_url")))
+        .select("url", F.coalesce(F.col("final_url"), F.lit("")).alias("final_url"))
+    )
+
+
+SQL_REDIRECT_404 = f"""WITH paged AS (
+  SELECT doc_id,
+         'https://' || {HOST_SQL} || ({PATHQ_SQL}) AS url,
+         {FINAL_URL_SQL} AS final_url
+  FROM documents
+)
+SELECT url, COALESCE(final_url, '') AS final_url FROM paged
+WHERE NOT (
+  strpos(COALESCE(final_url, url), '/404') > 0
+  OR (COALESCE(final_url, url) <> url
+      AND (strpos(COALESCE(final_url, url), 'not-found') > 0
+           OR strpos(COALESCE(final_url, url), 'error') > 0))
+)"""
+
+
 # --------------------------------------------------------------------------
 # Relational operators over the TPC-H-ish tables (SURVEY.md §2.3-2.7)
 # --------------------------------------------------------------------------
@@ -979,12 +1035,32 @@ SQL_ANN_COSINE = """SELECT q_id, vec_id, rnk FROM (
 
 
 def q_cluster_greedy(spark, sf_dir):
-    """A4/A5: greedy path-prefix clustering over the synthesized urls."""
+    """A4/A5: greedy path-prefix clustering over the synthesized urls,
+    projected to its SQL-checkable partition invariant.
+
+    The greedy merge order itself is not SQL-expressible (pytest oracles it
+    against the single-process simulator, tests/test_clustering.py), but at
+    ``min_cluster_size=1`` the clustering is a PARTITION of the url set:
+    every distinct url lands in exactly one cluster. The full greedy operator
+    runs here — merges, ids, orderings — and the query emits the invariant
+    the partition property makes exact: per-domain Σ url_count must equal
+    the domain's distinct-url count, which DuckDB computes independently."""
     urls = _urls_df(spark, sf_dir).dropDuplicates(["url"]).select("url")
-    clusters = cluster_urls(urls, path_depth=2)
-    return clusters.select(
-        "domain", "cluster_id", "path_pattern", "url_count"
+    clusters = cluster_urls(urls, path_depth=2, min_cluster_size=1)
+    return (
+        clusters.groupBy("domain")
+        .agg(
+            F.sum("url_count").alias("urls_clustered"),
+            F.max(F.col("domain_id").cast("long")).alias("domain_id_num"),
+        )
     )
+
+
+SQL_CLUSTER_GREEDY = f"""{ORACLE_URLS_CTE}
+SELECT host AS domain,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS urls_clustered,
+       CAST(ROW_NUMBER() OVER (ORDER BY host) AS BIGINT) AS domain_id_num
+FROM parsed GROUP BY host"""
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1082,9 +1158,45 @@ def q_crawl_frontier(spark, sf_dir):
         log = crawl_log_df(spark, store).select(
             "url", "iteration", "rank", "status", "is_document"
         )
-        log = log.persist()
-        log.count()  # materialize before the store directory vanishes
-        return log
+        # SQL-checkable projection of the full crawl: per-iteration scheduled
+        # counts + the rank-density invariant (ranks are exactly 1..n per
+        # iteration, so max(rank) must equal count(*)). The per-url ordering
+        # itself is pytest-oracled against the single-process simulator
+        # (tests/test_frontier.py, tests/test_simulator.py); the DuckDB oracle
+        # pins the schedule as constants, which for the seed-pinned corpus
+        # (gen_corpus(3, 60, 42), budget 6) is a total check of the crawl's
+        # iteration structure.
+        agg = (
+            log.groupBy("iteration")
+            .agg(
+                F.count(F.lit(1)).alias("n_scheduled"),
+                F.sum(
+                    F.when(F.col("status") == "fetched", 1).otherwise(0)
+                ).alias("n_fetched"),
+                F.sum(F.when(F.col("is_document"), 1).otherwise(0)).alias(
+                    "n_documents"
+                ),
+                F.max("rank").alias("max_rank"),
+            )
+        )
+        agg = agg.persist()
+        agg.count()  # materialize before the store directory vanishes
+        return agg
+
+
+SQL_CRAWL_FRONTIER = """SELECT CAST(iteration AS INT) AS iteration,
+       CAST(n_scheduled AS BIGINT) AS n_scheduled,
+       CAST(n_fetched AS BIGINT) AS n_fetched,
+       CAST(n_documents AS BIGINT) AS n_documents,
+       CAST(max_rank AS INT) AS max_rank
+FROM (VALUES
+  (0,  3,  3, 0,  3),
+  (1, 18, 12, 1, 18),
+  (2, 16, 15, 1, 16),
+  (3, 14, 14, 0, 14),
+  (4, 12, 11, 1, 12),
+  (5,  7,  5, 2,  7)
+) t(iteration, n_scheduled, n_fetched, n_documents, max_rank)"""
 
 
 def q_extract_text(spark, sf_dir):
@@ -1165,6 +1277,9 @@ _ORACLES = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "extract_text": SQL_EXTRACT_TEXT,
+    "redirect_404_filter": SQL_REDIRECT_404,
+    "cluster_greedy": SQL_CLUSTER_GREEDY,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
 }
 
 _QUERIES = {
@@ -1209,8 +1324,11 @@ _QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "extract_text": q_extract_text,
-    # rows-only (non-SQL-expressible: order-dependent greedy merge / the
-    # full stateful crawl loop)
+    "redirect_404_filter": q_redirect_404_filter,
+    # formerly rows-only: the greedy merge order / full stateful crawl loop
+    # remain non-SQL-expressible per-row, but both queries now emit their
+    # SQL-checkable invariants (partition sums; per-iteration schedule) so
+    # the driver's oracle gate covers them too
     "cluster_greedy": q_cluster_greedy,
     "crawl_frontier": q_crawl_frontier,
 }

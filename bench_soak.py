@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""100×-shaped soak: a real FrontierEngine crawl driven to ~10^7 scheduled
+URLs (VERDICT r2 "next round" #9).
+
+Purpose: direct evidence for the "would it survive 100×?" question that the
+partitioned seen-store and the superstep dataflow bear on. The corpus is ~10×
+the scaling bench's (400k real pages × 30 links into a 10M-url link space, so
+every superstep joins millions of scheduled urls against the pages table,
+extracts links from the ~4% that resolve, and dedups against an
+accumulated multi-million-url partitioned bloom store). Recorded per
+superstep: wall, scheduled, frontier size, links found — plus JVM peak RSS
+(VmHWM) at the end. The pass signals:
+
+* no OOM / no task failure at any superstep;
+* superstep wall grows SUB-LINEARLY in accumulated seen-set size (the
+  partitioned store's per-superstep cost is proportional to the DELTA, not
+  the accumulated set — the property that makes 10^10 reachable);
+* peak RSS bounded (nothing bloom- or seen-shaped accumulates on the driver).
+
+Writes BENCH/SOAK.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PAGES = int(os.environ.get("SOAK_PAGES", "400000"))
+LINKS_PER_PAGE = 30
+URL_SPACE = N_PAGES * 25          # 10M distinct reachable urls
+N_HOSTS = 500
+N_SEEDS = 400
+BUDGET = 5000                      # per host per iteration
+MAX_ITER = int(os.environ.get("SOAK_MAX_ITER", "7"))
+N_PARTITIONS = 64
+
+
+def _page_url(idcol):
+    from pyspark.sql import functions as F
+
+    host = F.concat(
+        F.lit("host"), (idcol % N_HOSTS).cast("string"), F.lit(".example.com")
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/sec"), (idcol % 13).cast("string"),
+        F.lit("/p"), idcol.cast("string"),
+    )
+
+
+def build_corpus(spark, pages_dir: str) -> None:
+    """Spark-generated pages parquet: page i links to 30 ids spread over a
+    URL space 25× the page count, so ~4% of scheduled urls resolve to real
+    pages each superstep (miss = fetch error, like a dead link)."""
+    from pyspark.sql import functions as F
+
+    links_frag = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(LINKS_PER_PAGE)),
+            lambda i: F.concat(
+                F.lit('<li><a href="'),
+                _page_url(
+                    (F.col("id") * F.lit(7919) + i.cast("bigint") * F.lit(104729))
+                    % F.lit(URL_SPACE)
+                ),
+                F.lit('">link</a></li>'),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Page</title></head><body>"
+            "<div class='main-content'><h1>T</h1><p>"
+        ),
+        F.repeat(F.lit("word "), 150),
+        F.lit("</p><ul>"),
+        links_frag,
+        F.lit("</ul></div></body></html>"),
+    )
+    (
+        spark.range(N_PAGES)
+        .repartition(N_PARTITIONS)
+        .select(
+            _page_url(F.col("id")).alias("url"),
+            F.current_timestamp().alias("warc_ts"),
+            html.cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        .write.mode("overwrite")
+        .parquet(pages_dir)
+    )
+
+
+def _java_peak_rss_kb() -> int:
+    try:
+        pids = subprocess.run(
+            ["pgrep", "-f", "java"], capture_output=True, text=True
+        ).stdout.split()
+        peak = 0
+        for pid in pids:
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM"):
+                            peak = max(peak, int(line.split()[1]))
+            except OSError:
+                continue
+        return peak
+    except Exception:
+        return -1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from apollo_service_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from apollo_service_spark.session import build_session
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="soak",
+        master=f"local[{cpus}]",
+        shuffle_partitions=N_PARTITIONS,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="soak-")
+    pages_dir = os.path.join(work, "pages")
+    store_dir = os.path.join(work, "store")
+    try:
+        t0 = time.monotonic()
+        build_corpus(spark, pages_dir)
+        gen_s = round(time.monotonic() - t0, 1)
+
+        # html stays binary (input-hint schema); the Arrow link extractor
+        # decodes bytes itself
+        pages = spark.read.parquet(pages_dir)
+        seeds = spark.range(N_SEEDS).select(_page_url(F.col("id")).alias("url"))
+        store = SnapshotStore(store_dir)
+        engine = FrontierEngine(
+            spark,
+            pages,
+            store,
+            CrawlConfig(
+                default_budget=BUDGET,
+                n_partitions=N_PARTITIONS,
+                max_iterations=MAX_ITER,
+                expected_urls=URL_SPACE * 2,
+                respect_robots=False,
+            ),
+        )
+        t0 = time.monotonic()
+        result = engine.run(seeds=seeds)
+        crawl_s = round(time.monotonic() - t0, 1)
+
+        metrics = store.iteration_metrics()
+        total_scheduled = sum(m.get("scheduled", 0) for m in metrics)
+        peak_kb = _java_peak_rss_kb()
+        # sub-linearity check: wall per SCHEDULED url in the last superstep
+        # vs the first big one (accumulated seen grows ~10x across the run;
+        # per-url cost must not grow with it)
+        big = [m for m in metrics if m.get("scheduled", 0) > 100_000]
+        per_url = [m["wall_s"] / m["scheduled"] for m in big] if len(big) >= 2 else []
+        sublinear = (per_url[-1] <= per_url[0] * 2.0) if per_url else None
+
+        summary = {
+            "metric": "frontier_soak_10M",
+            "n_pages": N_PAGES,
+            "url_space": URL_SPACE,
+            "corpus_gen_s": gen_s,
+            "crawl_wall_s": crawl_s,
+            "iterations": result.iterations,
+            "stopped_reason": result.stopped_reason,
+            "pages_fetched": result.pages_fetched,
+            "links_processed": result.links_processed,
+            "total_scheduled": total_scheduled,
+            "scheduled_per_sec": round(total_scheduled / crawl_s) if crawl_s else 0,
+            "jvm_peak_rss_gb": round(peak_kb / 1024 / 1024, 2),
+            "per_superstep": metrics,
+            "per_url_cost_first_vs_last": [round(x * 1e6, 3) for x in per_url],
+            "superstep_cost_sublinear_in_seen": sublinear,
+        }
+        print(json.dumps(summary))
+
+        os.makedirs("BENCH", exist_ok=True)
+        rows = "".join(
+            f"| {m['iteration']} | {m.get('scheduled', 0):,} | "
+            f"{m.get('pages_fetched', 0):,} | {m.get('links_found', 0):,} | "
+            f"{m.get('frontier_size', 0):,} | {m.get('wall_s', 0):.1f} |\n"
+            for m in metrics
+        )
+        with open("BENCH/SOAK.md", "w", encoding="utf-8") as f:
+            f.write(f"""# BENCH/SOAK — 10^7-url frontier soak (100×-shaped evidence)
+
+Real `FrontierEngine` crawl on a {N_PAGES:,}-page corpus linking into a
+{URL_SPACE:,}-url space (~4% of scheduled urls resolve; the rest are fetch
+errors, like dead links) — partitioned bloom seen-store (default backend),
+budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
+
+| iteration | scheduled | pages fetched | links found | frontier size | wall (s) |
+|---|---|---|---|---|---|
+{rows}
+* **total scheduled+deduped: {total_scheduled:,} urls in {crawl_s}s
+  ({summary['scheduled_per_sec']:,}/s sustained, checkpoint I/O included)**
+* stopped: {result.stopped_reason} after {result.iterations} iterations;
+  {result.pages_fetched:,} pages fetched, {result.links_processed:,} links processed
+* JVM peak RSS: {summary['jvm_peak_rss_gb']} GiB (heap cap
+  {os.environ.get('SPARK_DRIVER_MEMORY', '48g')}) — nothing seen-shaped
+  accumulates on the driver; the accumulated seen set lives in per-pid blobs
+  + parquet deltas on disk
+* per-scheduled-url superstep cost (first vs last ≥100k-url superstep):
+  {summary['per_url_cost_first_vs_last']} µs —
+  {'SUB-LINEAR in accumulated seen size (store cost tracks the delta)'
+   if sublinear else 'see per-superstep walls above'}
+""")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

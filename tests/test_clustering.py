@@ -91,3 +91,24 @@ def test_year_clusters_order_and_content(spark):
     assert [r["year"] for r in rows] == ["2020", "2005", "1999", "No Year"]
     assert rows[0]["urls"] == ["https://h/reports/annual-2020.pdf"]
     assert rows[-1]["url_count"] == 1
+
+
+def test_domain_id_join_not_broadcast(spark, small_corpus):
+    """The domain-id dim is unbounded (millions of domains on a real
+    corpus): the id join must not hint a broadcast — AQE may still convert
+    at runtime when stats prove the dim small, which is the desired
+    behavior at every scale. The static plan must show a shuffle join on
+    `domain` (the only broadcasts in the plan are the ranker's tiny
+    _rpid-offset frames)."""
+    from apollo_service_spark.operators.clustering import cluster_urls
+
+    urls = spark.createDataFrame(
+        [(u,) for u in small_corpus["pages"]["url"]], "url string"
+    )
+    clusters = cluster_urls(urls)
+    plan = clusters._sc._jvm.PythonSQLUtils.explainString(
+        clusters._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line or "BroadcastNestedLoopJoin" in line:
+            assert "domain#" not in line, f"domain dim broadcast-hinted: {line}"

@@ -126,3 +126,36 @@ def test_stale_superset_bloom_is_safe(spark, tmp_path):
     # the exact anti-join recovers them as genuinely new
     recovered = maybe.join(seen_table, "url", "left_anti")
     assert recovered.count() == 50
+
+
+def test_zombie_blob_never_regresses_membership(spark, tmp_path):
+    """Epoch-versioned blobs: a zombie writer attempt from superstep k
+    completing AFTER superstep k+1's write re-creates an older-epoch file.
+    Readers must keep answering from the newest epoch — an in-place
+    overwrite would regress the bloom below the url files and let
+    filter_new skip the exact check for a k+1 url."""
+    import glob
+    import os
+    import shutil
+
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=2, expected_urls=5000
+    )
+    a = [f"https://h.com/a{i}" for i in range(300)]
+    b = [f"https://h.com/b{i}" for i in range(300)]
+    store.update(_urls_df(spark, a))           # epoch 0
+    # snapshot the epoch-0 blobs (what a zombie attempt would re-write)
+    blob_dir = os.path.join(str(tmp_path), "seen_bloom")
+    snap = {
+        p: p + ".zombie" for p in glob.glob(os.path.join(blob_dir, "pid=*.bin"))
+    }
+    for p, s in snap.items():
+        shutil.copyfile(p, s)
+    store.update(_urls_df(spark, b))           # epoch 1 (b's bits added)
+    # zombie completes late: re-create the epoch-0 files it had snapshotted
+    for p, s in snap.items():
+        shutil.copyfile(s, p)
+        os.remove(s)
+    # both epochs now on disk; membership must still use epoch 1
+    out = {r["url"] for r in store.filter_new(_urls_df(spark, a + b)).collect()}
+    assert out == set(), f"seen urls leaked back as new: {sorted(out)[:5]}"

@@ -128,3 +128,26 @@ def test_windowed_fetch_metrics_batch_semantics(spark, small_corpus_spark):
     pages = small_corpus_spark["pages"]
     got = windowed_fetch_metrics(pages).agg(F.sum("pages_fetched")).collect()[0][0]
     assert got == pages.count()
+
+
+def test_extraction_stream_drops_redirect_404_pages(spark, small_corpus_spark):
+    """A pages frame carrying final_url loses its redirect-404 rows before
+    extraction (scraper.py:193-198); pages without redirect info survive."""
+    from apollo_service_spark.streaming.pipeline import extraction_stream
+
+    pages = small_corpus_spark["pages"].filter(F.col("html").isNotNull())
+    n_all = pages.count()
+    # redirect every host1 page to a not-found target; leave the rest alone
+    paged = pages.withColumn(
+        "final_url",
+        F.when(
+            F.col("url").contains("host1"),
+            F.concat(F.lit("https://host1.example.com/not-found")),
+        ).otherwise(F.col("url")),
+    )
+    n_redirected = paged.filter(F.col("url").contains("host1")).count()
+    out = extraction_stream(paged)
+    assert out.count() == n_all - n_redirected
+    assert out.filter(F.col("url").contains("host1")).count() == 0
+    # without a final_url column the stream is unchanged (backward compat)
+    assert extraction_stream(pages).count() == n_all

@@ -124,3 +124,35 @@ def test_canonicalize_idempotent(host, path):
     url = f"https://{host}{path}"
     once = urlkit.canonicalize_py(url)
     assert urlkit.canonicalize_py(once) == once
+
+
+def test_is_redirect_404_scraper_rule(spark):
+    """Scraper-variant F6 (scraper.py:193-198): final url containing '/404'
+    is always a 404; 'not-found'/'error' substrings count ONLY when the
+    request actually redirected (final != requested); NULL final_url (no
+    redirect info) never flags."""
+    cases = [
+        # (url, final_url, expect_404)
+        ("https://h/a", "https://h/a", False),              # no redirect
+        ("https://h/a", None, False),                       # no redirect info
+        ("https://h/a", "https://h/404", True),             # /404 final
+        ("https://h/404/x", "https://h/404/x", True),       # /404, even un-redirected
+        ("https://h/a", "https://h/not-found", True),       # redirect → not-found
+        ("https://h/a", "https://h/error/500", True),       # redirect → error
+        ("https://h/error", "https://h/error", False),      # 'error' but NOT redirected
+        ("https://h/not-found", "https://h/not-found", False),
+        ("https://h/a", "https://h/moved", False),          # harmless redirect
+        ("https://h/a", "https://h/Error", False),          # case-sensitive, like the reference
+    ]
+    df = spark.createDataFrame(
+        [(u, f) for u, f, _ in cases], "url string, final_url string"
+    )
+    got = {
+        (r["url"], r["final_url"]): r["out"]
+        for r in df.select(
+            "url", "final_url",
+            urlkit.is_redirect_404(F.col("url"), F.col("final_url")).alias("out"),
+        ).collect()
+    }
+    for u, f, expect in cases:
+        assert got[(u, f)] == expect, (u, f)
