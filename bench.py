@@ -133,8 +133,17 @@ def bench_frontier_expansion(spark, n_frontier: int = 2_000_000, n_seen: int = 2
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     spark = build_session(
-        app_name="apollo-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        app_name="apollo-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={
+            # pre-touch the heap: this sandbox commits anonymous memory
+            # slowly (hypervisor pressure); a lazily grown heap shows up as
+            # a kernel page-zeroing storm inside the first timed queries
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

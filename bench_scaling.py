@@ -51,13 +51,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PAGES = int(os.environ.get("SCALING_BENCH_PAGES", "160000"))
 LINKS_PER_PAGE = 30
-WARMUPS = 1
-REPEATS = 3
+WARMUPS = 2
+REPEATS = 3  # best-of-3: each level gets three chances to sample a clean
+             # host moment — with 2, one unlucky level skews a whole round
 MIN_ROUNDS = int(os.environ.get("SCALING_BENCH_ROUNDS", "7"))
 MAX_ROUNDS = MIN_ROUNDS + 3
 MIN_ACCEPTED = 4
 KERNEL_AGREE = 1.20  # max/min of a round's kernel speedups
-HEAP_PER_CORE_GB = 1.5
+HEAP_PER_CORE_GB = 0.375
 
 
 def _burn(n):
@@ -232,11 +233,19 @@ def _superstep(spark, pages, frontier, seen):
 def worker(cpus: int, n_pages: int) -> None:
     from apollo_service_spark.session import build_session
 
-    heap = max(8, int(cpus * HEAP_PER_CORE_GB))
+    heap = max(3, int(cpus * HEAP_PER_CORE_GB))
     # IDENTICAL partitioning at both levels (sized for the wide level, 3
     # tasks/core there) — strong scaling varies ONLY the executor count;
     # letting partition counts follow cores would compare two different
-    # jobs with different per-task Arrow/scheduling overheads
+    # jobs with different per-task Arrow/scheduling overheads.
+    #
+    # Heap scales per-core but stays SMALL and is fully PRE-TOUCHED
+    # (-Xms=-Xmx -XX:+AlwaysPreTouch): this sandbox commits anonymous
+    # memory at ~0.1-0.5 GB/s (hypervisor memory pressure), so a lazily
+    # grown multi-GB heap turns the first minutes of measurement into a
+    # kernel page-zeroing storm (observed: 80-95% sys time, 10x superstep
+    # walls at local[32] until the heap finished growing). Pre-touching
+    # moves that cost into JVM startup, outside the timed region.
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -244,6 +253,7 @@ def worker(cpus: int, n_pages: int) -> None:
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-tmp",
             "spark.driver.memory": f"{heap}g",
+            "spark.driver.extraJavaOptions": f"-Xms{heap}g -XX:+AlwaysPreTouch",
             # size post-shuffle partitions to the benchmark's data volume:
             # the default 64MB advisory target coalesces this job's ~300MB
             # shuffle to fewer partitions than the wide level has cores,

@@ -126,11 +126,17 @@ def main() -> None:
     from apollo_service_spark.sources.storage import SnapshotStore
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
     spark = build_session(
         app_name="soak",
         master=f"local[{cpus}]",
         shuffle_partitions=N_PARTITIONS,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")},
+        extra_conf={
+            "spark.driver.memory": heap,
+            # pre-touch: lazy heap growth on this sandbox is a kernel
+            # page-zeroing storm that would masquerade as superstep cost
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
