@@ -55,20 +55,25 @@ def _page_url(idcol):
 
 
 def build_corpus(spark, pages_dir: str) -> None:
-    """Spark-generated pages parquet: page i links to 30 ids spread over a
-    URL space 25× the page count, so ~4% of scheduled urls resolve to real
-    pages each superstep (miss = fetch error, like a dead link)."""
+    """Spark-generated pages parquet. Link mix per page: 10 links to REAL
+    pages (id-scrambled — the crawl grows ~10x/iteration until the 400k real
+    pages are exhausted) and 20 links to globally-UNIQUE dead urls (id*20+j —
+    8M distinct misses accumulate in the frontier/seen machinery, which is
+    what a web crawl's frontier actually looks like: most of it is
+    never-fetchable tail). Total reachable set ≈ 8.4M urls."""
     from pyspark.sql import functions as F
+
+    def target(i):
+        real = (F.col("id") * F.lit(7919) + i.cast("bigint") * F.lit(104729)) % F.lit(N_PAGES)
+        miss = F.lit(N_PAGES) + F.col("id") * F.lit(20) + (i - 11).cast("bigint")
+        return F.when(i <= 10, real).otherwise(miss)
 
     links_frag = F.array_join(
         F.transform(
             F.sequence(F.lit(1), F.lit(LINKS_PER_PAGE)),
             lambda i: F.concat(
                 F.lit('<li><a href="'),
-                _page_url(
-                    (F.col("id") * F.lit(7919) + i.cast("bigint") * F.lit(104729))
-                    % F.lit(URL_SPACE)
-                ),
+                _page_url(target(i)),
                 F.lit('">link</a></li>'),
             ),
         ),
