@@ -35,24 +35,65 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, id_col, "left_semi")
 
 
-def duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(fp, n_dups, doc_ids) for every fingerprint with more than one doc."""
+def duplicate_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids_per_group: int = 100_000,
+) -> DataFrame:
+    """(fp, n_dups, doc_ids) for every fingerprint with more than one doc.
+
+    ``n_dups`` is always exact; ``doc_ids`` keeps at most
+    ``max_ids_per_group`` (smallest ids) — a boilerplate fingerprint shared
+    by 10^8 documents at corpus scale would otherwise materialize one
+    multi-GB array row and OOM its task. Pass ``None`` to disable."""
     fp = docs.select(
         F.col(id_col), textstats.fingerprint(F.col(text_col)).alias("fp")
     )
-    return (
-        fp.groupBy("fp")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
-        .filter(F.col("n_dups") > 1)
-    )
+    return _capped_groups(fp, "fp", id_col, "n_dups", max_ids_per_group)
 
 
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
+
+
+def _capped_groups(
+    keyed: DataFrame, key_col: str, id_col: str, n_col: str, cap: int | None
+) -> DataFrame:
+    """(key, n, doc_ids) per key with n > 1; the id list keeps only the
+    ``cap`` smallest ids per key. The cap is applied BEFORE the collect (a
+    per-key window row_number filter), so no task ever buffers a mega-group's
+    full id array — slicing after ``collect_list`` would bound the output
+    but not the aggregation buffer that OOMs. Counts are always exact."""
+    from pyspark.sql import Window
+
+    if cap is None:
+        return (
+            keyed.groupBy(key_col)
+            .agg(
+                F.count("*").alias(n_col),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .filter(F.col(n_col) > 1)
+        )
+    counts = keyed.groupBy(key_col).agg(F.count("*").alias(n_col))
+    win = Window.partitionBy(key_col).orderBy(id_col)
+    capped = keyed.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= cap
+    )
+    ids = capped.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids")
+    ).withColumnRenamed(key_col, "_ikey")
+    # both sides are partitioned by the key (window and groupBy reuse the
+    # same hash exchange), so the join is co-located; null-SAFE equality so
+    # a null-key group (e.g. empty-document simhash) survives like it does
+    # in the plain groupBy
+    return (
+        counts.join(ids, F.col(key_col).eqNullSafe(F.col("_ikey")))
+        .filter(F.col(n_col) > 1)
+        .select(key_col, n_col, "doc_ids")
+    )
 
 
 def _salted_hash(seed: int):
@@ -264,16 +305,19 @@ def with_simhash(
     )
 
 
-def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Documents sharing an identical 64-bit simhash (strong near-dup signal)."""
+def simhash_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids_per_group: int = 100_000,
+) -> DataFrame:
+    """Documents sharing an identical 64-bit simhash (strong near-dup
+    signal). ``n`` is exact; ``doc_ids`` is capped like
+    ``duplicate_groups`` (smallest ids kept) against mega-group OOM."""
     sh = with_simhash(docs.select(id_col, text_col), text_col).select(
         id_col, "simhash"
     )
-    return (
-        sh.groupBy("simhash")
-        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n") > 1)
-    )
+    return _capped_groups(sh, "simhash", id_col, "n", max_ids_per_group)
 
 
 def simhash_near_pairs(

@@ -4,10 +4,12 @@ URLs (VERDICT r2 "next round" #9).
 
 Purpose: direct evidence for the "would it survive 100×?" question that the
 partitioned seen-store and the superstep dataflow bear on. The corpus is ~10×
-the scaling bench's (400k real pages × 30 links into a 10M-url link space, so
-every superstep joins millions of scheduled urls against the pages table,
-extracts links from the ~4% that resolve, and dedups against an
-accumulated multi-million-url partitioned bloom store). Recorded per
+the scaling bench's: 400k real pages, each linking to 10 real pages (the
+crawl grows ~10×/iteration until the corpus is exhausted) and 20
+globally-unique dead urls (the never-fetchable tail a real frontier
+accumulates) — every superstep joins millions of scheduled urls against the
+pages table, extracts links from the ones that resolve, and dedups against
+an accumulated multi-million-url partitioned bloom store. Recorded per
 superstep: wall, scheduled, frontier size, links found — plus JVM peak RSS
 (VmHWM) at the end. The pass signals:
 
@@ -213,9 +215,10 @@ def main() -> None:
         with open("BENCH/SOAK.md", "w", encoding="utf-8") as f:
             f.write(f"""# BENCH/SOAK — 10^7-url frontier soak (100×-shaped evidence)
 
-Real `FrontierEngine` crawl on a {N_PAGES:,}-page corpus linking into a
-{URL_SPACE:,}-url space (~4% of scheduled urls resolve; the rest are fetch
-errors, like dead links) — partitioned bloom seen-store (default backend),
+Real `FrontierEngine` crawl on a {N_PAGES:,}-page corpus whose pages carry
+10 links to real pages (10×/iteration growth until the corpus is exhausted)
+and 20 globally-unique dead links (the never-fetchable frontier tail a real
+web crawl accumulates) — partitioned bloom seen-store (default backend),
 budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
 
 | iteration | scheduled | pages fetched | links found | frontier size | wall (s) |

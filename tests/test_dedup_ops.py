@@ -113,3 +113,29 @@ def test_cosine_topk_guards_large_query_sets(spark):
     )
     with pytest.raises(ValueError, match="max_queries"):
         cosine_topk(vecs, corpus, k=2, max_queries=10)
+
+
+def test_duplicate_groups_id_cap_keeps_counts_exact(spark):
+    """The mega-group id cap bounds doc_ids BEFORE the collect (window
+    row_number, not post-slice) while n_dups stays exact; null group keys
+    (cap or no cap) behave identically."""
+    n = 500
+    rows = [(i, "identical body") for i in range(n)] + [(9000, "unique text here")]
+    df = _docs(spark, rows)
+    capped = dedup.duplicate_groups(df, max_ids_per_group=10).collect()
+    assert len(capped) == 1
+    assert capped[0]["n_dups"] == n
+    assert capped[0]["doc_ids"] == list(range(10))  # smallest ids kept
+    full = dedup.duplicate_groups(df, max_ids_per_group=None).collect()
+    assert full[0]["n_dups"] == n and len(full[0]["doc_ids"]) == n
+
+
+def test_simhash_groups_cap_matches_uncapped_on_small_groups(spark):
+    rows = [(i, f"doc body {i % 7}") for i in range(70)]
+    df = _docs(spark, rows)
+    a = {(r["n"], tuple(r["doc_ids"])) for r in dedup.simhash_dup_groups(df).collect()}
+    b = {
+        (r["n"], tuple(r["doc_ids"]))
+        for r in dedup.simhash_dup_groups(df, max_ids_per_group=None).collect()
+    }
+    assert a == b and len(a) == 7
