@@ -236,16 +236,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle inverted index
     (explode → self-join on shingle → count ÷ union). Quadratic only within a
-    shingle's posting list — the exact-verification baseline for LSH."""
+    shingle's posting list — the exact-verification baseline for LSH.
+
+    ``max_posting_size`` (opt-in) drops shingles whose posting list exceeds
+    the cap before the self-join — a stop-word-like shingle shared by 10^6
+    docs would otherwise contribute 10^12 join rows. Dropping a shingle can
+    only LOWER a pair's computed intersection (never raise it), so with the
+    cap the result is exact for pairs whose overlap lies in uncapped
+    shingles and conservatively under-counts pairs dominated by boilerplate
+    — the same recall-for-runtime trade as the LSH bucket cap, stated
+    honestly instead of hidden."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(textstats.shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     posting = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_posting_size is not None:
+        small = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_psz"))
+            .filter(F.col("_psz") <= max_posting_size)
+            .drop("_psz")
+        )
+        posting = posting.join(small, "shingle", "left_semi")
     pairs = (
         posting.alias("a")
         .join(

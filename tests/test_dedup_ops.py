@@ -139,3 +139,22 @@ def test_simhash_groups_cap_matches_uncapped_on_small_groups(spark):
         for r in dedup.simhash_dup_groups(df, max_ids_per_group=None).collect()
     }
     assert a == b and len(a) == 7
+
+
+def test_ngram_jaccard_posting_cap(spark):
+    """Opt-in posting cap: identical to uncapped when no posting exceeds it;
+    on a boilerplate corpus it bounds the join and only ever UNDER-counts."""
+    rows = []
+    for i in range(12):
+        words = [f"w{i}x{j}" for j in range(20)]
+        rows.append((i, " ".join(words)))
+        rows.append((i + 100, " ".join(words[:18]) + " tailA tailB"))
+    df = _docs(spark, rows)
+    base = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_posting_size=50).collect()}
+    assert capped == base == {(i, i + 100) for i in range(12)}
+    # boilerplate: every doc shares one giant posting list; cap=10 drops it
+    boiler = [(i, "same same same same body") for i in range(300)]
+    bdf = _docs(spark, boiler)
+    out = dedup.ngram_jaccard_pairs(bdf, threshold=0.5, max_posting_size=10).count()
+    assert out == 0  # under-counts by design; O(n^2) join avoided
