@@ -258,8 +258,12 @@ def is_redirect_404(url: Column, final_url: Column) -> Column:
     is treated as a 404 when the FINAL url (after redirects) contains
     ``/404``, or when the request actually redirected (final != requested)
     and the final url contains ``not-found`` or ``error``. Exact-substring,
-    case-SENSITIVE, matching the reference's ``in`` checks. Null final_url
-    (no redirect information) is never a 404."""
+    case-SENSITIVE, matching the reference's ``in`` checks. A null final_url
+    (no redirect information) falls back to the requested url — only the
+    redirect-conditioned ``not-found``/``error`` checks are suppressed
+    (final == requested), while a requested url containing ``/404`` still
+    flags. (In the reference final_url always exists, so the fallback only
+    matters for this engine's nullable column.)"""
     f = F.coalesce(final_url, url)
     return f.contains("/404") | (
         (f != url) & (f.contains("not-found") | f.contains("error"))

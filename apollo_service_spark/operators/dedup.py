@@ -12,14 +12,90 @@ Four tiers, all shuffle-conscious:
   higher-order array functions); near-dups = identical simhash or Hamming
   distance ≤ r via band rotation.
 * **embedding cosine** — see similarity.py; near-dup = cosine ≥ threshold.
+
+No silent caps: every opt-in cap (``max_ids_per_group``, ``max_bucket_size``,
+``max_posting_size``) accepts a ``drop_observation`` —  a
+``pyspark.sql.Observation`` that, after the query's action runs, reports how
+many rows/ids the cap actually dropped (``rows_dropped`` / ``ids_dropped``).
+A 100 TB pipeline can therefore SEE recall loss instead of inferring it
+(VERDICT r3 task #7). The metric rides the query via ``df.observe`` — zero
+extra jobs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions import textstats
+
+
+def _capped_pairs(
+    df: DataFrame,
+    keys: list,
+    cap: int,
+    drop_observation: Observation | None,
+    id_col: str = "id",
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs within each key-group, for groups of at
+    most ``cap`` rows; oversized groups are dropped whole and their row
+    count observed as ``rows_dropped``.
+
+    The capped path deliberately does NOT self-join: the cap bounds each
+    group, so collecting the group's ids (+ payload) into one array and
+    exploding the a<b pairs is safe (≤ cap ids buffered, ≤ cap² pairs per
+    group), computes the upstream frame ONCE instead of twice, and keeps the
+    drop Observation on a linearly-consumed node. (A CollectMetrics node
+    duplicated by a self-join can be left half-consumed by the sort-merge
+    join's lazy right-side iterator — when the streamed side is empty the
+    duplicate observes zero rows and clobbers the real count with null, the
+    bug this structure exists to avoid.) The mega-group OOM guard is the
+    sizes pre-filter: ``collect_list`` only ever runs on groups already
+    proven ≤ cap.
+
+    payload columns ``c`` come back as ``{c}_a`` / ``{c}_b``."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_gsz"))
+    if drop_observation is not None:
+        sizes = sizes.observe(
+            drop_observation,
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_gsz") > cap, F.col("_gsz")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_dropped"),
+        )
+    small = sizes.filter(F.col("_gsz") <= cap).drop("_gsz")
+    kept = df.join(small, keys)
+    item = (
+        F.struct(F.col(id_col).alias("_i"), *[F.col(c) for c in payload_cols])
+        if payload_cols
+        else F.col(id_col)
+    )
+    grp = kept.groupBy(*keys).agg(F.sort_array(F.collect_list(item)).alias("_arr"))
+    gt = (
+        (lambda x: x["_i"] > F.col("_a._i"))
+        if payload_cols
+        else (lambda x: x > F.col("_a"))
+    )
+    paired = grp.select(F.explode("_arr").alias("_a"), "_arr").select(
+        "_a", F.explode(F.filter(F.col("_arr"), gt)).alias("_b")
+    )
+    if payload_cols:
+        return paired.select(
+            F.col("_a._i").alias("id_a"),
+            F.col("_b._i").alias("id_b"),
+            *[F.col(f"_a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"_b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+    return paired.select(
+        F.col("_a").alias("id_a"), F.col("_b").alias("id_b")
+    )
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -40,17 +116,22 @@ def duplicate_groups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_ids_per_group: int = 100_000,
+    drop_observation: Observation | None = None,
 ) -> DataFrame:
     """(fp, n_dups, doc_ids) for every fingerprint with more than one doc.
 
     ``n_dups`` is always exact; ``doc_ids`` keeps at most
     ``max_ids_per_group`` (smallest ids) — a boilerplate fingerprint shared
     by 10^8 documents at corpus scale would otherwise materialize one
-    multi-GB array row and OOM its task. Pass ``None`` to disable."""
+    multi-GB array row and OOM its task. Pass ``None`` to disable.
+    ``drop_observation`` reports the total ids truncated from the lists as
+    ``ids_dropped`` after the consuming action runs."""
     fp = docs.select(
         F.col(id_col), textstats.fingerprint(F.col(text_col)).alias("fp")
     )
-    return _capped_groups(fp, "fp", id_col, "n_dups", max_ids_per_group)
+    return _capped_groups(
+        fp, "fp", id_col, "n_dups", max_ids_per_group, drop_observation
+    )
 
 
 # --------------------------------------------------------------------------
@@ -59,13 +140,20 @@ def duplicate_groups(
 
 
 def _capped_groups(
-    keyed: DataFrame, key_col: str, id_col: str, n_col: str, cap: int | None
+    keyed: DataFrame,
+    key_col: str,
+    id_col: str,
+    n_col: str,
+    cap: int | None,
+    drop_observation: Observation | None = None,
 ) -> DataFrame:
     """(key, n, doc_ids) per key with n > 1; the id list keeps only the
     ``cap`` smallest ids per key. The cap is applied BEFORE the collect (a
     per-key window row_number filter), so no task ever buffers a mega-group's
     full id array — slicing after ``collect_list`` would bound the output
-    but not the aggregation buffer that OOMs. Counts are always exact."""
+    but not the aggregation buffer that OOMs. Counts are always exact.
+    ``drop_observation`` (with a cap set) observes ``ids_dropped`` = total
+    ids truncated across all groups."""
     from pyspark.sql import Window
 
     if cap is None:
@@ -78,6 +166,18 @@ def _capped_groups(
             .filter(F.col(n_col) > 1)
         )
     counts = keyed.groupBy(key_col).agg(F.count("*").alias(n_col))
+    if drop_observation is not None:
+        counts = counts.observe(
+            drop_observation,
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.col(n_col) - F.lit(cap), F.lit(0)).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("ids_dropped"),
+        )
     win = Window.partitionBy(key_col).orderBy(id_col)
     capped = keyed.withColumn("_rn", F.row_number().over(win)).filter(
         F.col("_rn") <= cap
@@ -134,6 +234,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    drop_observation: Observation | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by exact shingle
     Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -190,25 +291,21 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        cand = _capped_pairs(
+            banded, ["band", "bucket"], max_bucket_size, drop_observation
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        banded = banded.join(small, ["band", "bucket"], "left_semi")
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
     # verify branch reads the docs again WITHOUT the signature expressions —
     # the 32 array_min transforms are the expensive part of `sigs`
@@ -237,6 +334,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_posting_size: int | None = None,
+    drop_observation: Observation | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle inverted index
     (explode → self-join on shingle → count ÷ union). Quadratic only within a
@@ -257,22 +355,23 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     posting = sh.select("id", F.explode("sh").alias("shingle"))
     if max_posting_size is not None:
-        small = (
-            posting.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_psz"))
-            .filter(F.col("_psz") <= max_posting_size)
-            .drop("_psz")
+        pairs = (
+            _capped_pairs(
+                posting, ["shingle"], max_posting_size, drop_observation
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
         )
-        posting = posting.join(small, "shingle", "left_semi")
-    pairs = (
-        posting.alias("a")
-        .join(
-            posting.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+    else:
+        pairs = (
+            posting.alias("a")
+            .join(
+                posting.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     return (
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -344,6 +443,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     hamming_max: int = 3,
     max_bucket_size: int | None = None,
+    drop_observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``hamming_max`` between 64-bit
     simhashes, via pigeonhole banding.
@@ -390,30 +490,35 @@ def simhash_near_pairs(
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.value").alias("value"))
 
     if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "value")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        cand = (
+            _capped_pairs(
+                banded,
+                ["band", "value"],
+                max_bucket_size,
+                drop_observation,
+                payload_cols=("simhash",),
+            )
+            .withColumnRenamed("simhash_a", "sh_a")
+            .withColumnRenamed("simhash_b", "sh_b")
+            .dropDuplicates(["id_a", "id_b"])
         )
-        banded = banded.join(small, ["band", "value"], "left_semi")
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.value") == F.col("b.value"))
-            & (F.col("a.id") < F.col("b.id")),
+    else:
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.value") == F.col("b.value"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)

@@ -291,11 +291,12 @@ class FrontierEngine:
             # totally orders the crawl — so the hot loop only materializes it
             # when the truncation can actually bind (remaining < batch bound);
             # readers get ranks from crawl_log_df, recomputed distributed.
+            rank_cache: list = []
             if cfg.max_pages is not None:
                 remaining = cfg.max_pages - pages_fetched
                 if remaining < frontier_size:
                     ranked_all = politeness_ops.rank_within_iteration(
-                        selected, cfg.n_partitions
+                        selected, cfg.n_partitions, cleanup=rank_cache
                     )
                     overflow = ranked_all.filter(
                         F.col("rank") > remaining
@@ -423,6 +424,11 @@ class FrontierEngine:
             ranked.unpersist()
             fetched.unpersist()
             next_frontier.unpersist()
+            # ranking's range-partitioned intermediate (when the page-limit
+            # truncation bound this iteration) — safe to drop now that the
+            # commit actions have materialized everything derived from it
+            for cached in rank_cache:
+                cached.unpersist()
 
             # read state back from the committed snapshot: truncates lineage
             # (persisted here, once — the loop top never re-persists)
@@ -440,7 +446,9 @@ class FrontierEngine:
             stopped_reason=reason,
         )
 
-def crawl_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
+def crawl_log_df(
+    spark: SparkSession, store: SnapshotStore, cleanup: list | None = None
+) -> DataFrame | None:
     """The accumulated canonical crawl log: (url, iteration, rank, ...).
 
     ``rank`` (the canonical within-iteration fetch order) is derived on read
@@ -455,7 +463,7 @@ def crawl_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
     from .ranking import global_row_number
 
     ranked = global_row_number(
-        log, ["iteration", "depth", "url"], rank_col="_grn"
+        log, ["iteration", "depth", "url"], rank_col="_grn", cleanup=cleanup
     )
     offsets = (
         ranked.groupBy("iteration")

@@ -8,8 +8,15 @@ carry over to the next iteration. The ranking's ``orderBy`` is a total order
 is deterministic and replayable (SURVEY.md §2.5).
 
 The politeness table is tiny (one row per host with an explicit budget) and is
-broadcast; the window itself shuffles on ``host``, which is the same key the
-seen-set anti-join uses, so at scale the two stages can reuse one exchange.
+broadcast. The window shuffles on raw ``host``; the seen-store dedup groups on
+the SALTED host partition id and the anti-join fallback shuffles on ``url`` —
+different hash expressions, so Spark does NOT reuse one exchange across these
+stages (Catalyst requires identical partitioning expressions; a pid-partitioned
+frontier clusters hosts correctly but can't be *proven* clustered-by-host).
+The window exchange is one shuffle of the CURRENT frontier delta per
+superstep — proportional to the batch, not the accumulated crawl — which is
+the property that matters at 10^10 scale. (Corrected per VERDICT r3 task #8:
+the earlier exchange-reuse claim here overstated what the planner can do.)
 """
 
 from __future__ import annotations
@@ -47,7 +54,9 @@ def select_batch(
     return selected, carryover
 
 
-def rank_within_iteration(selected: DataFrame, n_partitions: int = 32) -> DataFrame:
+def rank_within_iteration(
+    selected: DataFrame, n_partitions: int = 32, cleanup: list | None = None
+) -> DataFrame:
     """Canonical within-iteration fetch rank: global (depth, url) order, 1-based.
 
     This is the pinned, replayable realization of the reference's
@@ -58,5 +67,9 @@ def rank_within_iteration(selected: DataFrame, n_partitions: int = 32) -> DataFr
     serialization point at 10^10-frontier scale.
     """
     return global_row_number(
-        selected, frontier_order(), rank_col="rank", n_partitions=n_partitions
+        selected,
+        frontier_order(),
+        rank_col="rank",
+        n_partitions=n_partitions,
+        cleanup=cleanup,
     )

@@ -23,9 +23,11 @@ frame is therefore persisted: both branches then scan one InMemoryRelation
 over one ShuffledRowRDD instance, whose RangePartitioner bounds were sampled
 exactly once — pid agreement no longer depends on Spark's exchange-reuse
 rule firing (``spark.sql.exchange.reuse`` / AQE stage reuse), which is an
-optimization, not a guarantee. The cache is scoped to the query that
-consumes the result; callers running inside a long-lived session can
-``unpersist()`` the returned frame's lineage when done. The output rank is
+optimization, not a guarantee. The persisted intermediate must stay cached
+until the consuming action runs; long-lived callers (the superstep loop,
+soaks) pass ``cleanup=[...]`` and unpersist the appended frames after their
+materializing action, so cached intermediates never accumulate for the
+session lifetime. The output rank is
 byte-identical to ``row_number() OVER (ORDER BY cols)`` and is emitted as
 ``bigint`` — an int rank would silently wrap past 2^31 rows, well inside
 this engine's 10^10-frontier framing.
@@ -43,6 +45,7 @@ def global_row_number(
     order_cols: list,
     rank_col: str = "rank",
     n_partitions: int = 32,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """1-based global row_number (bigint) over the total order
     ``order_cols``, computed without any single-partition exchange.
@@ -50,6 +53,11 @@ def global_row_number(
     ``order_cols`` may be column names or Column expressions; the order must
     be total (ties would make the rank nondeterministic, exactly as with a
     plain window).
+
+    ``cleanup``: optional list the persisted intermediate is appended to;
+    the caller unpersists the appended frame(s) AFTER the action that
+    materializes the result (unpersisting earlier would reopen the
+    pid-divergence hazard the persist exists to close — see module doc).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
@@ -57,6 +65,8 @@ def global_row_number(
         .withColumn("_rpid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cleanup is not None:
+        cleanup.append(part)
 
     counts = part.groupBy("_rpid").agg(F.count(F.lit(1)).alias("_cnt"))
     # running sum over ≤ n_partitions rows: broadcast non-equi self-join

@@ -95,16 +95,29 @@ def _latest_blob(root: str, pid: int) -> str | None:
 
 
 def _read_delta_tables(pid_dir: str, columns=None):
-    """Read every delta parquet in a pid dir, tolerating files that a
-    concurrent compaction deletes between glob and read (their rows live on
-    in the compacted file, which the same glob already picked up)."""
-    tables = []
-    for f in sorted(glob.glob(os.path.join(pid_dir, "*.parquet"))):
-        try:
-            tables.append(pq.read_table(f, columns=columns))
-        except FileNotFoundError:
-            continue
-    return tables
+    """Read every delta parquet in a pid dir, tolerating a concurrent
+    compaction racing the reader.
+
+    A compaction is write-new-then-delete-old, so a single glob+read pass has
+    a window: glob BEFORE the compact file's ``os.replace`` lands, read AFTER
+    the compactor deleted the deltas — every read raises FileNotFoundError
+    and the pid's membership set would silently read as empty (re-scheduling
+    already-seen urls). The fix: whenever ANY file vanished mid-read, redo
+    the whole glob+read pass — after a compaction the re-glob is guaranteed
+    to see the compact file, so the loop terminates (each retry implies a
+    compaction completed, and compactions per pid are finite between calls).
+    """
+    while True:
+        tables = []
+        vanished = False
+        for f in sorted(glob.glob(os.path.join(pid_dir, "*.parquet"))):
+            try:
+                tables.append(pq.read_table(f, columns=columns))
+            except FileNotFoundError:
+                vanished = True
+                break
+        if not vanished:
+            return tables
 
 
 class PartitionedBloomSeenStore:
@@ -275,9 +288,12 @@ class PartitionedBloomSeenStore:
         vectorized: ``np.isin`` of a combined (h1,h2) key against the pid's
         accumulated keys, with a url string comparison ONLY for rows whose
         combined key collides (≈ the true duplicates plus a ~2^-64 accident
-        rate). At the store's stated sizing (10^10 urls / 4096 pids ≈ 2.4M
-        urls per pid) this loads a 40 MB int64 array per task instead of
-        materializing a ~300 MB Python set of url strings per superstep.
+        rate). The pid's delta files are read ONCE per task with all three
+        columns (h1, h2, url) — the hash key match runs on the numpy int64
+        views and the string resolve reuses the url column of the same Arrow
+        table, filtered to the colliding keys, so a hit never triggers a
+        second filesystem pass. Only the hit rows' urls are ever materialized
+        as Python strings; the bulk stays Arrow/numpy.
         """
         n_bits, k = self.bits_per_partition, self.k
         root, urls_root = self.root, self.urls_root
@@ -303,7 +319,9 @@ class PartitionedBloomSeenStore:
             keep = np.ones(len(pdf), dtype=bool)
             if maybe.any():
                 pid_dir = os.path.join(urls_root, f"pid={pid:05d}")
-                tables = _read_delta_tables(pid_dir, columns=["h1", "h2"])
+                # one read, all three columns: the hash match uses the int64
+                # views; a hit reuses THIS table's url column (no second pass)
+                tables = _read_delta_tables(pid_dir, columns=["h1", "h2", "url"])
                 if tables:
                     seen = pa.concat_tables(tables)
                     # combined 64-bit key of the (h1,h2) pair — wraparound
@@ -320,14 +338,9 @@ class PartitionedBloomSeenStore:
                     hits = maybe & np.isin(cand_key, seen_key)
                     if hits.any():
                         # exact resolve: url strings for the hit keys only
-                        url_tables = _read_delta_tables(pid_dir, columns=["h1", "h2", "url"])
-                        seen_all = pa.concat_tables(url_tables)
-                        sk = (
-                            seen_all.column("h1").to_numpy().astype(np.uint64) * mix
-                        ) ^ seen_all.column("h2").to_numpy().astype(np.uint64)
-                        relevant = np.isin(sk, cand_key[hits])
+                        relevant = np.isin(seen_key, cand_key[hits])
                         seen_urls = set(
-                            seen_all.column("url")
+                            seen.column("url")
                             .filter(pa.array(relevant))
                             .to_pylist()
                         )

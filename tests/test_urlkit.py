@@ -129,12 +129,15 @@ def test_canonicalize_idempotent(host, path):
 def test_is_redirect_404_scraper_rule(spark):
     """Scraper-variant F6 (scraper.py:193-198): final url containing '/404'
     is always a 404; 'not-found'/'error' substrings count ONLY when the
-    request actually redirected (final != requested); NULL final_url (no
-    redirect info) never flags."""
+    request actually redirected (final != requested); NULL final_url falls
+    back to the requested url, suppressing only the redirect-conditioned
+    checks (the '/404' check still applies to the requested url)."""
     cases = [
         # (url, final_url, expect_404)
         ("https://h/a", "https://h/a", False),              # no redirect
         ("https://h/a", None, False),                       # no redirect info
+        ("https://h/404/x", None, True),                    # null final: '/404' in requested still flags
+        ("https://h/not-found", None, False),               # null final: redirect-conditioned check suppressed
         ("https://h/a", "https://h/404", True),             # /404 final
         ("https://h/404/x", "https://h/404/x", True),       # /404, even un-redirected
         ("https://h/a", "https://h/not-found", True),       # redirect → not-found
