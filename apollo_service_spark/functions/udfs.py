@@ -74,3 +74,31 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
         index=html.index,
         dtype=object,
     )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_canonical_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """``extract_links`` + per-link ``canonicalize_py`` in one Arrow pass —
+    the frontier's link kernel.
+
+    Canonicalization happens INSIDE the UDF rather than as a Catalyst
+    expression on the exploded column for a codegen reason: predicate
+    pushdown substitutes a projected alias into every term of the downstream
+    ignore filter, so a ~50-node canonicalize tree × ~30 contains/endswith
+    terms generated a >16k-line janino unit that FAILED to compile and
+    silently fell back to interpreted row processing for the superstep's
+    biggest stage (round-4 probe). With the canonical url materialized by
+    the UDF, the filter references a plain attribute and the whole pipeline
+    stays inside WholeStageCodegen (asserted in tests/test_plans.py).
+    ``canonicalize_py`` is the same function the oracle simulator applies,
+    so engine/simulator equivalence is structural."""
+    from .urlkit import canonicalize_py
+
+    return pd.Series(
+        [
+            [canonicalize_py(link) for link in extract_links(h, b)]
+            for h, b in zip(html, base_url)
+        ],
+        index=html.index,
+        dtype=object,
+    )

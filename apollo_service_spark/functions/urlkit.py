@@ -184,9 +184,32 @@ def url_hash(url: Column, salt: int = 0) -> Column:
     return F.xxhash64(url, F.lit(salt))
 
 
-def host_salted_partition(host: Column, n_partitions: int, salt: int = 0) -> Column:
-    """Deterministic host partition id; salted to decorrelate from other runs."""
-    return F.pmod(F.xxhash64(host, F.lit(salt)), F.lit(n_partitions))
+def host_salted_partition(
+    host: Column,
+    n_partitions: int,
+    salt: int = 0,
+    url: Column | None = None,
+    spread: int | None = None,
+) -> Column:
+    """Deterministic partition id: salted host hash, plus (when ``url`` is
+    given) a per-url offset that spreads each host across ``spread``
+    partitions (default: all of them).
+
+    A pure host hash maps a host's ENTIRE url set to one partition — salting
+    decorrelates hosts from each other but cannot spread a single mega-host
+    (the skew SURVEY §7 names: one host holding most of the frontier pins
+    one task). The url offset keeps the id a pure function of the row (the
+    same url always lands on the same partition, so partition-local
+    membership checks stay exact) while a mega-host's urls distribute
+    uniformly. ``spread=1`` / ``url=None`` recovers pure host locality."""
+    base = F.xxhash64(host, F.lit(salt))
+    if url is not None:
+        spread = n_partitions if spread is None else spread
+        if spread > 1:
+            base = base + F.pmod(
+                F.xxhash64(url, F.lit(salt + 0x51_7C_C1B7)), F.lit(spread)
+            )
+    return F.pmod(base, F.lit(n_partitions))
 
 
 def path_prefix(path: Column, depth: int = 2) -> Column:

@@ -9,7 +9,8 @@ iteration of the driver loop is one Spark job:
 2. **fetch** — ``batch LEFT JOIN pages ON url`` (the table-driven analog of
    the HTTP GET at `apollo.py:493`); a missing row is a fetch error, a row
    with NULL html is non-HTML content (no link expansion, `apollo.py:549-555`).
-3. **expand** — ``extract_links_udf`` (Arrow) → ``explode`` → canonicalize →
+3. **expand** — ``extract_canonical_links_udf`` (Arrow, canonicalizes
+   in-kernel) → ``explode`` →
    ignore-pattern / domain / document filters (urlkit, Catalyst-native) →
    robots broadcast gate (robots.py).
 4. **dedup** — bloom pre-filter (bloom.py) then exact
@@ -25,10 +26,14 @@ crawl ordering exactly (verified against oracle/simulator.py). Every
 DataFrame crossing iterations round-trips through parquet, which truncates
 lineage — no logical-plan growth across supersteps (SURVEY.md §7 risk 3).
 
-Scale notes: the frontier and seen tables are hash-partitioned by salted host
-(`host_salted_partition`) so one mega-host cannot pin a partition; the
-politeness budget itself bounds any host's per-iteration batch; robots and
-politeness dims are broadcast; AQE handles residual skew in the anti-join.
+Scale notes: the frontier and seen tables are hash-partitioned by salted
+host PLUS a per-url spread offset (`host_salted_partition(url=...)`) so one
+mega-host cannot pin a storage/dedup partition; the politeness budget bounds
+any host's per-iteration BATCH, and the opt-in two-phase selection
+(`CrawlConfig.politeness_prune` → politeness.select_batch) bounds the
+per-host WINDOW straggler a mega-host frontier would otherwise create;
+robots and politeness dims are broadcast; AQE handles residual skew in the
+anti-join.
 """
 
 from __future__ import annotations
@@ -38,9 +43,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import urlkit
-from ..functions.udfs import extract_links_udf
+from ..functions.udfs import extract_canonical_links_udf
 from ..sources.storage import SnapshotStore
 from . import politeness as politeness_ops
 from . import robots as robots_ops
@@ -69,6 +75,10 @@ class CrawlConfig:
     # iteration (only sane to ~10^8 seen urls; kept for A/B benchmarking).
     seen_backend: str = "partitioned"
     expected_urls: int = 1_000_000        # bloom sizing for "partitioned"
+    # opt-in two-phase batch selection: bounds the per-host window straggler
+    # when one mega-host dominates the frontier (politeness.select_batch);
+    # None = single exact window (right for skew-free frontiers)
+    politeness_prune: int | None = None
 
 
 @dataclass
@@ -105,9 +115,19 @@ class FrontierEngine:
         self.spark = spark
         self.config = config or CrawlConfig()
         self.store = store
-        # pages is scanned once per iteration with an equi-join on url;
-        # pre-partition by the join key so every superstep reuses the layout.
-        self.pages = pages.repartition(self.config.n_partitions, "url")
+        # pages is joined on url EVERY superstep; repartition once on the
+        # join key and persist (disk-backed) so supersteps pay a cached-read
+        # + small-side shuffle instead of re-scanning AND re-shuffling the
+        # whole corpus per iteration — the round-4 probe measured the pages
+        # reshuffle as the superstep's dominant fixed cost (~19 s/iteration
+        # at 50k pages). Scale honesty: executor storage bounds what this
+        # buys — when the fetch table exceeds cache it degrades to the
+        # re-scan behavior, never worse; on a real crawl the pages "table"
+        # is the fetch layer (network), and this join is its stand-in.
+        # run() unpersists on completion.
+        self.pages = pages.repartition(self.config.n_partitions, "url").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         self.robots_agg = (
             robots_ops.aggregate_rules(robots)
             if (robots is not None and self.config.respect_robots)
@@ -142,7 +162,10 @@ class FrontierEngine:
         return df.repartition(
             self.config.n_partitions,
             urlkit.host_salted_partition(
-                F.col("host"), self.config.n_partitions, self.config.salt
+                F.col("host"),
+                self.config.n_partitions,
+                self.config.salt,
+                url=F.col("url"),
             ),
         )
 
@@ -158,17 +181,19 @@ class FrontierEngine:
         if cfg.depth_limit is not None:
             expandable = expandable.filter(F.col("depth") < F.lit(cfg.depth_limit))
 
+        # links come out of the Arrow kernel ALREADY canonicalized
+        # (extract_canonical_links_udf) — applying canonicalize as a column
+        # expression here let predicate pushdown substitute its ~50-node tree
+        # into every ignore-filter term, which blew past janino's compile
+        # limits and dropped the stage out of WholeStageCodegen
         links = (
             expandable.select(
                 F.col("depth"),
                 F.explode(
-                    extract_links_udf(F.col("html"), F.col("url"))
-                ).alias("raw_link"),
+                    extract_canonical_links_udf(F.col("html"), F.col("url"))
+                ).alias("url"),
             )
-            .select(
-                urlkit.canonicalize(F.col("raw_link")).alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-            )
+            .select("url", (F.col("depth") + 1).alias("depth"))
             .withColumn("host", urlkit.url_host(F.col("url")))
         )
 
@@ -223,6 +248,9 @@ class FrontierEngine:
         cfg = self.config
         store = self.store
         spark = self.spark
+        # re-mark the pages cache (no-op on first run; restores the mark a
+        # previous run()'s completion unpersist removed on engine reuse)
+        self.pages.persist(StorageLevel.MEMORY_AND_DISK)
 
         if resume and store.latest_iteration() >= 0:
             start_iter = store.latest_iteration() + 1
@@ -283,7 +311,10 @@ class FrontierEngine:
             t0 = time.monotonic()
 
             selected, carryover = politeness_ops.select_batch(
-                frontier, self.politeness, cfg.default_budget
+                frontier,
+                self.politeness,
+                cfg.default_budget,
+                prune_partitions=cfg.politeness_prune,
             )
             # deterministic truncation at the page limit (canonical rule for
             # the reference's racy max_pages stop, apollo.py:538-547). The
@@ -373,8 +404,11 @@ class FrontierEngine:
             # commit so the store is always a superset of the committed seen
             # set (crash-safe: supersets only cause extra exclusions of urls
             # the crawl already scheduled, never lost urls)
+            store_update_s = 0.0
             if self.seen_store is not None:
+                t_upd = time.monotonic()
                 self.seen_store.update(ranked.select("url", "host"))
+                store_update_s = round(time.monotonic() - t_upd, 4)
 
             def _metrics() -> dict:
                 # evaluated by the store AFTER the table writes — the writes
@@ -397,6 +431,9 @@ class FrontierEngine:
                     "links_found": int(link_m["links_found"] or 0),
                     "frontier_size": frontier_size,
                     "wall_s": round(time.monotonic() - t0, 4),
+                    # fixed-cost breakdown (VERDICT r3 task #2): the store
+                    # update's wall; commit adds per-table write_walls_s
+                    "store_update_s": store_update_s,
                 }
 
             m = store.commit(
@@ -439,6 +476,9 @@ class FrontierEngine:
             reason = "max_iterations"
             frontier.unpersist()
 
+        # every exit path converges here: release the cached pages layout
+        # (run() re-marks it on entry, so engine reuse stays cached)
+        self.pages.unpersist()
         return CrawlResultState(
             iterations=iteration - start_iter + 1 if iteration >= start_iter else 0,
             pages_fetched=pages_fetched,

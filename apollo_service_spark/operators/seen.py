@@ -2,9 +2,11 @@
 
 At 10^10 seen URLs a single bloom filter is ~12 GB — too big to broadcast and
 absurd to rebuild every superstep (which ``bloom.build_bloom`` would do). The
-north-star design is a *partitioned* seen set: URLs are salted-host-hashed
-into P partitions; each partition owns a bitmap of m/P bits stored as one
-blob next to the seen table. Per iteration:
+north-star design is a *partitioned* seen set: URLs are hashed into P
+partitions by salted host hash PLUS a per-url spread offset (a pure function
+of the url — see ``pid_col``), so a mega-host distributes uniformly across
+pids instead of pinning one task; each partition owns a bitmap of m/P bits
+stored as one blob next to the seen table. Per iteration:
 
 * **update**: the iteration's seen delta is grouped by partition id and each
   group's ``applyInPandas`` task OR-merges its delta bits into its own blob
@@ -143,8 +145,17 @@ class PartitionedBloomSeenStore:
 
     # -- partition key -------------------------------------------------------
 
-    def pid_col(self, host_col) -> object:
-        return urlkit.host_salted_partition(host_col, self.n_partitions, self.salt)
+    def pid_col(self, host_col, url_col) -> object:
+        """Partition id: salted host hash + per-url spread — a pure function
+        of the url, so update and filter agree row-by-row, while a mega-host
+        spreads uniformly across pids instead of pinning one task (SURVEY §7
+        skew risk; VERDICT r3 task #4). NOTE: the pid assignment is part of
+        the store's on-disk layout — changing salt/spread invalidates an
+        existing store (a fresh crawl resets it; resume reuses the engine
+        config that created it)."""
+        return urlkit.host_salted_partition(
+            host_col, self.n_partitions, self.salt, url=url_col
+        )
 
     def reset(self) -> None:
         """Drop all blobs and exact url files (fresh-crawl start on a root
@@ -179,7 +190,7 @@ class PartitionedBloomSeenStore:
             F.col("url"),
             F.xxhash64("url", F.lit(_H1_SALT)).alias("h1"),
             F.xxhash64("url", F.lit(_H2_SALT)).alias("h2"),
-            self.pid_col(F.col("host")).alias("pid"),
+            self.pid_col(F.col("host"), F.col("url")).alias("pid"),
         )
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -249,7 +260,7 @@ class PartitionedBloomSeenStore:
         keyed = candidates.withColumn(
             "_h1", F.xxhash64("url", F.lit(_H1_SALT))
         ).withColumn("_h2", F.xxhash64("url", F.lit(_H2_SALT))).withColumn(
-            "_pid", self.pid_col(F.col("host"))
+            "_pid", self.pid_col(F.col("host"), F.col("url"))
         )
         out_schema = keyed.drop("_pid").withColumn(
             "_maybe_seen", F.lit(True)
@@ -302,7 +313,7 @@ class PartitionedBloomSeenStore:
         keyed = candidates.withColumn(
             "_h1", F.xxhash64("url", F.lit(_H1_SALT))
         ).withColumn("_h2", F.xxhash64("url", F.lit(_H2_SALT))).withColumn(
-            "_pid", self.pid_col(F.col("host"))
+            "_pid", self.pid_col(F.col("host"), F.col("url"))
         )
         out_schema = keyed.drop("_h1", "_h2", "_pid").schema
 

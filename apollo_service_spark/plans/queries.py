@@ -1237,6 +1237,92 @@ FROM (VALUES
 ) t(iteration, n_scheduled, n_fetched, n_documents, max_rank)"""
 
 
+def q_media_features(spark, sf_dir):
+    """Real multimodal decode through the mapInPandas plumbing with a
+    DuckDB-checkable invariant (VERDICT r3 task #6): per documents.doc_id a
+    payload is synthesized deterministically (solid-color 24-bit BMP /
+    binary PPM, constant-amplitude 16-bit PCM WAV), decoded by the REAL
+    pure-Python decoders (operators/multimodal.py), and featurized by
+    ``extract_features`` (color histogram + channel means / RMS-peak energy).
+    The emitted integer stats must reproduce the generator arithmetic, which
+    the oracle recomputes in closed form from doc_id — so the decode path,
+    not the generator, is what the gate checks."""
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "mime": []}
+            for raw_id in pdf["doc_id"]:
+                i = int(raw_id)
+                if i % 3 == 0:
+                    payload = mm.make_bmp(
+                        8, 6, ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+                    )
+                    kind, mime = "image", "image/bmp"
+                elif i % 3 == 1:
+                    payload = mm.make_ppm(
+                        5,
+                        4,
+                        ((i * 11 + 3) % 256, (i * 17 + 5) % 256, (i * 23 + 7) % 256),
+                    )
+                    kind, mime = "image", "image/x-portable-pixmap"
+                else:
+                    payload = mm.make_wav(800 + (i % 5) * 80, (i * 13) % 1000)
+                    kind, mime = "audio", "audio/wav"
+                rows["media_id"].append(i)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["mime"].append(mime)
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
+    meta = mm.decode_media_meta(media)
+    feats = mm.extract_features(media, dim=64)
+    is_img = F.col("format").isin("bmp", "ppm")
+    px = lambda idx: (  # noqa: E731
+        F.when(
+            is_img,
+            F.round(F.element_at("feature", idx) * 255).cast("int"),
+        ).otherwise(F.lit(-1))
+    )
+    return meta.join(feats, "media_id").select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+        px(49).alias("mean_r"),
+        px(50).alias("mean_g"),
+        px(51).alias("mean_b"),
+        F.when(
+            F.col("format") == "wav",
+            F.round(F.element_at("feature", 2) * 32768).cast("int"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("peak"),
+    )
+
+
+SQL_MEDIA_FEATURES = """SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE -1 END AS INT) AS width,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE -1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 100 + (doc_id % 5) * 10 ELSE -1 END AS INT) AS duration_ms,
+  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id * 37) % 256 WHEN 1 THEN (doc_id * 11 + 3) % 256 ELSE -1 END AS INT) AS mean_r,
+  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id * 59) % 256 WHEN 1 THEN (doc_id * 17 + 5) % 256 ELSE -1 END AS INT) AS mean_g,
+  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id * 83) % 256 WHEN 1 THEN (doc_id * 23 + 7) % 256 ELSE -1 END AS INT) AS mean_b,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id * 13) % 1000 ELSE -1 END AS INT) AS peak
+FROM documents WHERE doc_id < 60"""
+
+
 def q_extract_text(spark, sf_dir):
     """Flagship pandas UDF: HTML→markdown over the synthetic pages table.
     Returns (n_pages, n_identical): pages processed and pages whose UDF
@@ -1315,6 +1401,7 @@ _ORACLES = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "extract_text": SQL_EXTRACT_TEXT,
+    "media_features": SQL_MEDIA_FEATURES,
     "redirect_404_filter": SQL_REDIRECT_404,
     "cluster_greedy": SQL_CLUSTER_GREEDY,
 }
@@ -1361,6 +1448,7 @@ _QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "extract_text": q_extract_text,
+    "media_features": q_media_features,
     "redirect_404_filter": q_redirect_404_filter,
     # formerly rows-only: the greedy merge order / full stateful crawl loop
     # remain non-SQL-expressible per-row, but both queries now emit their

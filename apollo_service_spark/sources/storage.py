@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,12 +96,19 @@ class SnapshotStore:
                 f"got {iteration}"
             )
         written = {}
+        write_walls = {}
         for name, df in tables.items():
             path = self._table_dir(name, iteration)
+            t0 = time.monotonic()
             df.write.mode("overwrite").parquet(path)
+            write_walls[name] = round(time.monotonic() - t0, 4)
             written[name] = path
         if callable(metrics):
             metrics = metrics()
+        # per-table write walls ride the committed metrics so soaks/benches
+        # can see WHERE a superstep's fixed cost goes (VERDICT r3 task #2)
+        metrics = dict(metrics or {})
+        metrics.setdefault("write_walls_s", write_walls)
         manifest["committed_iteration"] = iteration
         manifest["iterations"][str(iteration)] = {
             "tables": written,

@@ -206,12 +206,18 @@ def main() -> None:
         print(json.dumps(summary))
 
         os.makedirs("BENCH", exist_ok=True)
-        rows = "".join(
-            f"| {m['iteration']} | {m.get('scheduled', 0):,} | "
-            f"{m.get('pages_fetched', 0):,} | {m.get('links_found', 0):,} | "
-            f"{m.get('frontier_size', 0):,} | {m.get('wall_s', 0):.1f} |\n"
-            for m in metrics
-        )
+        def _row(m):
+            ww = m.get("write_walls_s", {})
+            other_w = sum(v for k, v in ww.items() if k != "frontier")
+            return (
+                f"| {m['iteration']} | {m.get('scheduled', 0):,} | "
+                f"{m.get('pages_fetched', 0):,} | {m.get('links_found', 0):,} | "
+                f"{m.get('frontier_size', 0):,} | {m.get('wall_s', 0):.1f} | "
+                f"{ww.get('frontier', 0):.1f} | {m.get('store_update_s', 0):.1f} | "
+                f"{other_w:.1f} |\n"
+            )
+
+        rows = "".join(_row(m) for m in metrics)
         with open("BENCH/SOAK.md", "w", encoding="utf-8") as f:
             f.write(f"""# BENCH/SOAK — 10^7-url frontier soak (100×-shaped evidence)
 
@@ -221,8 +227,8 @@ and 20 globally-unique dead links (the never-fetchable frontier tail a real
 web crawl accumulates) — partitioned bloom seen-store (default backend),
 budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
 
-| iteration | scheduled | pages fetched | links found | frontier size | wall (s) |
-|---|---|---|---|---|---|
+| iteration | scheduled | pages fetched | links found | frontier size | wall (s) | frontier write (s) | seen-store update (s) | other writes (s) |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 * **total scheduled+deduped: {total_scheduled:,} urls in {crawl_s}s
   ({summary['scheduled_per_sec']:,}/s sustained, checkpoint I/O included)**

@@ -147,17 +147,26 @@ def test_cluster_domain_id_join_not_static_broadcast(spark, documents):
 
     global_row_number's internals legitimately broadcast tiny ≤n_partitions
     aggregates (keys ``_rpid``/``_apid``), so the assertion targets joins on
-    the ``domain`` key only.
+    the ``domain`` key only. With ``autoBroadcastJoinThreshold`` disabled,
+    ONLY a hint could still plan a static broadcast — at the test corpus's
+    size Catalyst's stats-based broadcast is legitimate and not under test.
     """
     import re
 
     from apollo_service_spark.operators.clustering import cluster_urls
 
-    clustered = cluster_urls(_frontier_df(documents).select("url"), path_depth=2)
-    # simple-mode plan keeps join keys on the node line
-    plan = clustered._sc._jvm.PythonSQLUtils.explainString(
-        clustered._jdf.queryExecution(), "simple"
-    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clustered = cluster_urls(
+            _frontier_df(documents).select("url"), path_depth=2
+        )
+        # simple-mode plan keeps join keys on the node line
+        plan = clustered._sc._jvm.PythonSQLUtils.explainString(
+            clustered._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     bad = [
         line
         for line in plan.splitlines()
@@ -192,3 +201,44 @@ def test_events_recent_pushdown_and_partition_pruning(spark, tmp_path):
     n_total = spark.read.parquet(part_dir).count()
     n_pruned = part.count()
     assert 0 < n_pruned < n_total
+
+
+def test_candidate_link_pipeline_compiles(spark, tmp_path):
+    """The frontier's expand pipeline must stay inside compiled codegen.
+
+    Round-4 probe: applying `urlkit.canonicalize` as a column expression on
+    the exploded links let predicate pushdown substitute its ~50-node tree
+    into every ignore-filter term — a >16k-line janino unit that FAILED to
+    compile and silently dropped the superstep's biggest stage to
+    interpreted execution. Canonicalization now happens inside the Arrow
+    kernel. With `spark.sql.codegen.fallback=false` a compile failure
+    becomes an exception instead of a silent fallback, so this test fails
+    if the blowup ever comes back."""
+    from apollo_service_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    html = (
+        "<html><body><div class='main-content'>"
+        + "".join(f"<a href='/p{i}'>x</a>" for i in range(20))
+        + "</div></body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.com/", f"h{i}.com", 0, bytearray(html)) for i in range(8)],
+        "url string, host string, depth int, html binary",
+    )
+    engine = FrontierEngine(
+        spark,
+        pages.select("url", F.lit(None).cast("timestamp").alias("warc_ts"),
+                     "html", F.lit(None).cast("string").alias("text"),
+                     F.lit("en").alias("lang")),
+        SnapshotStore(str(tmp_path)),
+        CrawlConfig(respect_robots=False),
+    )
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        n = engine._candidate_links(pages).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+        engine.pages.unpersist()
+    assert n == 8 * 20
