@@ -79,6 +79,12 @@ class CrawlConfig:
     # when one mega-host dominates the frontier (politeness.select_batch);
     # None = single exact window (right for skew-free frontiers)
     politeness_prune: int | None = None
+    # frontiers at or below this size fetch via a broadcast semi-join probe
+    # over the RAW pages scan (no corpus shuffle, no cache materialization)
+    # instead of the repartitioned+cached join — the small-superstep fast
+    # path (seed iterations, crawl tail). The cached layout is built lazily
+    # by the first BIG superstep, where it amortizes against real work.
+    small_batch_threshold: int = 10_000
 
 
 @dataclass
@@ -125,6 +131,7 @@ class FrontierEngine:
         # re-scan behavior, never worse; on a real crawl the pages "table"
         # is the fetch layer (network), and this join is its stand-in.
         # run() unpersists on completion.
+        self.pages_raw = pages
         self.pages = pages.repartition(self.config.n_partitions, "url").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -347,9 +354,19 @@ class FrontierEngine:
 
             # batch stats ride the commit writes as observed metrics — no
             # dedicated .collect()/.count() jobs in the superstep
+            # fetch join: small supersteps probe the raw pages scan with a
+            # broadcast semi-join (scan-only, zero corpus shuffle) and join
+            # the pruned hits; big supersteps use the cached url-partitioned
+            # layout. The driver-side frontier_size gate costs no jobs.
+            if frontier_size <= cfg.small_batch_threshold:
+                fetch_src = self.pages_raw.join(
+                    F.broadcast(ranked.select("url")), "url", "left_semi"
+                )
+            else:
+                fetch_src = self.pages
             obs_batch = Observation()
             fetched = (
-                ranked.join(self.pages, "url", "left")
+                ranked.join(fetch_src, "url", "left")
                 .withColumn(
                     "status",
                     F.when(F.col("warc_ts").isNull(), F.lit("error"))

@@ -177,7 +177,8 @@ class PartitionedBloomSeenStore:
         exclusive writer per blob; atomic replace keeps readers consistent.
         The exact urls land as one immutable parquet file per (pid, update) —
         append-only, so a concurrent/crashed reader never sees a torn file.
-        When a pid accumulates more than ``compact_above`` delta files, the
+        When a pid accumulates more than ``compact_above`` (+ a per-pid
+        stagger offset, see below) delta files, the
         writer task merges them into one (write-new-then-delete-old: a crash
         in between leaves duplicate rows, which membership checks don't
         care about — never a lost url). Returns number of partitions touched.
@@ -212,7 +213,13 @@ class PartitionedBloomSeenStore:
             )
             os.replace(fname + ".tmp", fname)
             existing = sorted(glob.glob(os.path.join(pid_dir, "*.parquet")))
-            if len(existing) > compact_above:
+            # stagger the compaction threshold per pid: every pid gains one
+            # delta file per superstep, so a single threshold makes ALL pids
+            # compact in the SAME superstep — an O(accumulated) rewrite storm
+            # that showed up as one 60s store update in the 10^7 soak. The
+            # pid-dependent offset spreads compactions across supersteps
+            # (each still compacts at the same long-run frequency).
+            if len(existing) > compact_above + (pid % compact_above):
                 tables = _read_delta_tables(pid_dir)
                 cname = os.path.join(
                     pid_dir, f"compact-{uuid.uuid4().hex}.parquet"

