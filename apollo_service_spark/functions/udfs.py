@@ -78,20 +78,15 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
 
 @F.pandas_udf(ArrayType(StringType()))
 def extract_canonical_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
-    """``extract_links`` + per-link ``canonicalize_py`` in one Arrow pass —
-    the frontier's link kernel.
+    """``extract_links`` + per-link ``canonicalize_py`` in one Arrow pass.
 
-    Canonicalization happens INSIDE the UDF rather than as a Catalyst
-    expression on the exploded column for a codegen reason: predicate
-    pushdown substitutes a projected alias into every term of the downstream
-    ignore filter, so a ~50-node canonicalize tree × ~30 contains/endswith
-    terms generated a >16k-line janino unit that FAILED to compile and
-    silently fell back to interpreted row processing for the superstep's
-    biggest stage (round-4 probe). With the canonical url materialized by
-    the UDF, the filter references a plain attribute and the whole pipeline
-    stays inside WholeStageCodegen (asserted in tests/test_plans.py).
-    ``canonicalize_py`` is the same function the oracle simulator applies,
-    so engine/simulator equivalence is structural."""
+    NOT the frontier's default kernel: moving canonicalize into Python
+    measured ~10% slower at both scaling-bench parallelism levels than the
+    JVM ``urlkit.canonicalize`` expression (the codegen blowup the move was
+    meant to fix is instead fixed by the single-reference
+    ``urlkit.is_ignored_fused`` filter). Kept as the spill valve for
+    pipelines that need canonical links from Python anyway;
+    ``canonicalize_py`` is the same function the oracle simulator applies."""
     from .urlkit import canonicalize_py
 
     return pd.Series(

@@ -276,6 +276,29 @@ def is_ignored(url: Column, extra_patterns: list | None = None) -> Column:
     return cond
 
 
+def is_ignored_fused(url: Column, extra_patterns: list | None = None) -> Column:
+    """``is_ignored`` semantics as ONE ``rlike`` — for pipelines where the
+    url is itself a wide expression.
+
+    The contains/endswith decomposition references the url once per term
+    (~30×); when the url column is an alias for e.g. ``canonicalize`` (a
+    ~50-node tree), predicate pushdown substitutes the tree into EVERY term
+    and the generated code blows past janino's compile limits, silently
+    dropping the superstep's biggest stage to interpreted execution (round-4
+    probe). One fused alternation references the url exactly once, so the
+    substituted plan stays one canonicalize + one compiled regex per row —
+    inside whole-stage codegen (tests/test_plans.py runs the pipeline with
+    ``codegen.fallback=false``). Property-tested equivalent to
+    ``is_ignored`` (tests/test_urlkit.py)."""
+    import re as _re
+
+    terms = [_re.escape(s) for s in _IGNORE_SUBSTRINGS]
+    terms += [_re.escape(s) + "$" for s in _IGNORE_EXT_SUFFIXES]
+    if extra_patterns:
+        terms += [f"(?:{p})" for p in extra_patterns]
+    return url.rlike(_CI + "(?:" + "|".join(terms) + ")")
+
+
 def is_redirect_404(url: Column, final_url: Column) -> Column:
     """The scraper's redirect-to-404 heuristic (scraper.py:193-198): a fetch
     is treated as a 404 when the FINAL url (after redirects) contains

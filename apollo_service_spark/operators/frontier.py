@@ -9,8 +9,7 @@ iteration of the driver loop is one Spark job:
 2. **fetch** — ``batch LEFT JOIN pages ON url`` (the table-driven analog of
    the HTTP GET at `apollo.py:493`); a missing row is a fetch error, a row
    with NULL html is non-HTML content (no link expansion, `apollo.py:549-555`).
-3. **expand** — ``extract_canonical_links_udf`` (Arrow, canonicalizes
-   in-kernel) → ``explode`` →
+3. **expand** — ``extract_links_udf`` (Arrow) → ``explode`` → canonicalize →
    ignore-pattern / domain / document filters (urlkit, Catalyst-native) →
    robots broadcast gate (robots.py).
 4. **dedup** — bloom pre-filter (bloom.py) then exact
@@ -46,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions import urlkit
-from ..functions.udfs import extract_canonical_links_udf
+from ..functions.udfs import extract_links_udf
 from ..sources.storage import SnapshotStore
 from . import politeness as politeness_ops
 from . import robots as robots_ops
@@ -188,24 +187,29 @@ class FrontierEngine:
         if cfg.depth_limit is not None:
             expandable = expandable.filter(F.col("depth") < F.lit(cfg.depth_limit))
 
-        # links come out of the Arrow kernel ALREADY canonicalized
-        # (extract_canonical_links_udf) — applying canonicalize as a column
-        # expression here let predicate pushdown substitute its ~50-node tree
-        # into every ignore-filter term, which blew past janino's compile
-        # limits and dropped the stage out of WholeStageCodegen
+        # canonicalize stays a JVM column expression (fast path), but the
+        # ignore filter MUST be the single-reference fused regex here:
+        # predicate pushdown substitutes the canonicalize tree into every
+        # filter term, and the ~30-term contains/endswith decomposition blew
+        # past janino's compile limits, silently dropping this stage to
+        # interpreted execution (round-4 probe; guarded by the
+        # codegen.fallback=false test in tests/test_plans.py)
         links = (
             expandable.select(
                 F.col("depth"),
                 F.explode(
-                    extract_canonical_links_udf(F.col("html"), F.col("url"))
-                ).alias("url"),
+                    extract_links_udf(F.col("html"), F.col("url"))
+                ).alias("raw_link"),
             )
-            .select("url", (F.col("depth") + 1).alias("depth"))
+            .select(
+                urlkit.canonicalize(F.col("raw_link")).alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
             .withColumn("host", urlkit.url_host(F.col("url")))
         )
 
         links = links.filter(
-            ~urlkit.is_ignored(F.col("url"), cfg.extra_ignore_patterns)
+            ~urlkit.is_ignored_fused(F.col("url"), cfg.extra_ignore_patterns)
         )
         if cfg.base_host is not None:
             links = links.filter(F.col("host") == F.lit(cfg.base_host))

@@ -225,7 +225,12 @@ def _superstep(spark, pages, frontier, seen):
     links = fetched.select(
         F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("raw")
     ).select(urlkit.canonicalize(F.col("raw")).alias("url"))
-    links = links.filter(~urlkit.is_ignored(F.col("url")))
+    # fused single-reference ignore filter — the engine's actual path: the
+    # contains-chain variant substituted the canonicalize tree into every
+    # term, failed janino compilation, and silently measured INTERPRETED
+    # row processing (allocation-bound, scales ~2.1x at 8->32 vs ~2.9x
+    # compiled — it was the round-3/round-4a scaling-number depressor)
+    links = links.filter(~urlkit.is_ignored_fused(F.col("url")))
     new = links.groupBy("url").count().join(seen, "url", "left_anti")
     return new.count()
 

@@ -159,3 +159,41 @@ def test_is_redirect_404_scraper_rule(spark):
     }
     for u, f, expect in cases:
         assert got[(u, f)] == expect, (u, f)
+
+
+def test_is_ignored_fused_equivalent(spark):
+    """is_ignored_fused (single-rlike, used where the url is a wide
+    expression) must match the contains/endswith decomposition exactly —
+    including case-insensitivity, the '.jpg' substring-vs-suffix overlap,
+    and extra user patterns."""
+    cases = [
+        "https://h.com/page",
+        "https://h.com/LOGIN/next",
+        "https://h.com/logout",
+        "https://h.com/signin?next=/",
+        "https://h.com/x.JPG",
+        "https://h.com/x.jpg/thumb",      # '.jpg' substring, not suffix
+        "https://h.com/a.zip",
+        "https://h.com/a.zipper",         # suffix must anchor
+        "https://h.com/404/page",
+        "https://h.com/file.ASPX",
+        "https://h.com/file.mp4",
+        "https://h.com/file.mp4?x=1",     # suffix no longer at end
+        "https://h.com/admin/x",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    for extra in (None, [r"/admin/", r"\?next="]):
+        got_dec = {
+            r["url"]: r["d"]
+            for r in df.select(
+                "url", urlkit.is_ignored(F.col("url"), extra).alias("d")
+            ).collect()
+        }
+        got_fused = {
+            r["url"]: r["f"]
+            for r in df.select(
+                "url", urlkit.is_ignored_fused(F.col("url"), extra).alias("f")
+            ).collect()
+        }
+        assert got_dec == got_fused, (extra, got_dec, got_fused)
