@@ -234,11 +234,27 @@ def test_candidate_link_pipeline_compiles(spark, tmp_path):
         SnapshotStore(str(tmp_path)),
         CrawlConfig(respect_robots=False),
     )
+    robots = spark.createDataFrame(
+        [("h1.com", "/p1"), ("h1.com", "/p2")],
+        "host string, disallow_prefix string",
+    )
+    gated = FrontierEngine(
+        spark,
+        engine.pages_raw,
+        SnapshotStore(str(tmp_path / "gated")),
+        CrawlConfig(),
+        robots=robots,
+    )
     prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
         n = engine._candidate_links(pages).count()
+        n_gated = gated._candidate_links(pages).count()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
         engine.pages.unpersist()
+        gated.pages.unpersist()
     assert n == 8 * 20
+    # robots is PREFIX match: '/p1' blocks /p1 and /p10../p19 (11 links),
+    # '/p2' blocks /p2 — 12 of h1.com's 20 links gated
+    assert n_gated == 8 * 20 - 12
