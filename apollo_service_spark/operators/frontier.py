@@ -236,7 +236,21 @@ class FrontierEngine:
         just-fetched page must not re-enter the frontier.
         """
         cfg = self.config
-        links = links.groupBy("url", "host").agg(F.min("depth").alias("depth"))
+        # dedup on url alone — host is a pure function of the url, so it is
+        # recomputed AFTER the aggregate instead of riding the shuffle as a
+        # grouping key (narrower shuffle rows, one fewer key column)
+        links = (
+            links.groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .withColumn("host", urlkit.url_host(F.col("url")))
+        )
+        # exclusion anti-join FIRST, while links are hash-partitioned by url
+        # straight out of the groupBy — ENSURE_REQUIREMENTS reuses that
+        # layout for the join's left side (only the much smaller exclude
+        # side shuffles), and the batch shrinks before the seen-store's
+        # Python pass. Order vs the seen check is semantically free (both
+        # are row filters).
+        links = links.join(exclude.select("url"), "url", "left_anti")
         if self.seen_store is not None:
             new = self.seen_store.filter_new(links)
         elif cfg.use_bloom and seen_count >= cfg.bloom_min_seen:
@@ -250,7 +264,6 @@ class FrontierEngine:
             new = definitely_new.unionByName(checked)
         else:
             new = links.join(seen.select("url"), "url", "left_anti")
-        new = new.join(exclude.select("url"), "url", "left_anti")
         return new.select(*_FRONTIER_SCHEMA)
 
     # ------------------------------------------------------------------ loop
@@ -396,11 +409,14 @@ class FrontierEngine:
             new_links = self._dedup(links, seen, exclude, seen_count)
 
             obs_next = Observation()
-            next_frontier = (
-                carryover.unionByName(new_links)
-                .groupBy("url", "host")
-                .agg(F.min("depth").alias("depth"))
-            )
+            # plain union, no merge aggregate: the two sides are provably
+            # disjoint and internally unique — carryover ⊂ frontier (unique
+            # by url; the page-limit overflow moved into carryover BEFORE
+            # exclude was built), and new_links was grouped by url then
+            # anti-joined against exclude = carryover ∪ ranked. A
+            # groupBy(url).min(depth) here was a full shuffle of the next
+            # frontier that could never change a row.
+            next_frontier = carryover.unionByName(new_links)
             next_frontier = (
                 self._repartition_state(next_frontier)
                 .observe(obs_next, F.count(F.lit(1)).alias("next_size"))

@@ -258,3 +258,42 @@ def test_candidate_link_pipeline_compiles(spark, tmp_path):
     # robots is PREFIX match: '/p1' blocks /p1 and /p10../p19 (11 links),
     # '/p2' blocks /p2 — 12 of h1.com's 20 links gated
     assert n_gated == 8 * 20 - 12
+
+
+def test_dedup_reuses_groupby_partitioning(spark, documents, tmp_path):
+    """_dedup's exclusion anti-join must reuse the url hash layout the
+    candidate groupBy already produced: exactly one exchange per input
+    branch (links, exclude, seen), none between the aggregate and the
+    joins. A fourth exchange means the join stopped reusing the groupBy's
+    partitioning (e.g. someone re-keyed the aggregate by (url, host))."""
+    import re
+
+    from apollo_service_spark.operators.frontier import CrawlConfig, FrontierEngine
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    links = _frontier_df(documents)
+    # filters, not limit(): GlobalLimit plans its own Exchange SinglePartition
+    # which would pollute the exchange count under test
+    exclude = links.filter(F.crc32(F.col("url")) % 7 == 0).select("url")
+    seen = links.filter(F.crc32(F.col("url")) % 11 == 0).select("url")
+    engine = FrontierEngine(
+        spark,
+        links.select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+        ),
+        SnapshotStore(str(tmp_path)),
+        CrawlConfig(seen_backend="broadcast", use_bloom=False),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(engine._dedup(links, seen, exclude, seen_count=0))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        engine.pages.unpersist()
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+    assert len(exchanges) == 3, plan
