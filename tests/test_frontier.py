@@ -174,3 +174,20 @@ def test_max_links_limit(spark, small_corpus, small_corpus_spark, tmp_path):
     assert _log_tuples(spark, store) == {
         (r["url"], r["iteration"], r["rank"]) for r in sim.crawl_log
     }
+
+
+def test_politeness_prune_crawl_identical(
+    spark, small_corpus_spark, tmp_path
+):
+    """CrawlConfig.politeness_prune (two-phase batch selection for mega-host
+    frontiers) must leave the whole crawl byte-identical: same log, same
+    ranks, same seen set as the single-window default."""
+    base_cfg = CrawlConfig()
+    _, store_base = _run_engine(
+        spark, small_corpus_spark, str(tmp_path / "base"), base_cfg
+    )
+    pruned_cfg = CrawlConfig(politeness_prune=4)
+    _, store_pruned = _run_engine(
+        spark, small_corpus_spark, str(tmp_path / "pruned"), pruned_cfg
+    )
+    assert _log_tuples(spark, store_pruned) == _log_tuples(spark, store_base)

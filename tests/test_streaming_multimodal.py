@@ -151,3 +151,32 @@ def test_extraction_stream_drops_redirect_404_pages(spark, small_corpus_spark):
     assert out.filter(F.col("url").contains("host1")).count() == 0
     # without a final_url column the stream is unchanged (backward compat)
     assert extraction_stream(pages).count() == n_all
+
+
+def test_decoder_roundtrip_fuzz():
+    """Pure-Python decoders invert the sample encoders for arbitrary sizes,
+    colors, and amplitudes (incl. BMP row padding and WAV chunk padding)."""
+    import random
+
+    import numpy as np
+
+    from apollo_service_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    for _ in range(25):
+        w, h = rng.randint(1, 23), rng.randint(1, 17)
+        rgb = tuple(rng.randrange(256) for _ in range(3))
+        px = mm._bmp_decode(mm.make_bmp(w, h, rgb))
+        assert px.shape == (h, w, 3) and (px == np.array(rgb)).all(), (w, h, rgb)
+        px = mm._ppm_decode(mm.make_ppm(w, h, rgb))
+        assert px.shape == (h, w, 3) and (px == np.array(rgb)).all(), (w, h, rgb)
+    for _ in range(25):
+        n = rng.randint(1, 5000)
+        amp = rng.randint(-32768, 32767)
+        s = mm._wav_pcm_samples(mm.make_wav(n, amp))
+        assert s is not None and len(s) == n and (s == amp).all(), (n, amp)
+    # rejects: truncated, wrong magic, non-PCM
+    assert mm._bmp_decode(b"BM\x00") is None
+    assert mm._ppm_decode(b"P3\n1 1\n255\n...") is None
+    assert mm._wav_pcm_samples(b"RIFFxxxxWAVE") is None
+    assert mm._bmp_decode(mm.make_bmp(4, 4, (1, 2, 3))[:-8]) is None
