@@ -122,6 +122,116 @@ def _read_delta_tables(pid_dir: str, columns=None):
             return tables
 
 
+_MIX = 0xFF51AFD7ED558CCD  # 64-bit mix multiplier for the (h1,h2) pair key
+
+
+class _SegmentCache:
+    """Executor-local cache of per-delta-file membership segments.
+
+    The store's delta files are immutable once written (append-only, uniquely
+    named; compaction writes a NEW file and deletes the old ones), so a
+    Python worker that already parsed a file never needs to re-read it: a
+    steady-state superstep's filter cost becomes proportional to the files
+    ADDED since the last superstep, not the accumulated set — the same
+    reason the update path scales (cost tracks the delta). On a real cluster
+    this is the executor-local SSD/memory cache every S3-backed store layers
+    in front of immutable blobs.
+
+    A segment is ``(key_unsorted, key_sorted, url_column)``: the mixed
+    64-bit (h1,h2) pair key aligned with the file's rows (for the exact url
+    resolve mask), the same keys sorted (for ``np.searchsorted`` membership),
+    and the Arrow url column (strings stay Arrow-packed until a hit
+    materializes just the colliding rows). Eviction is LRU by byte budget;
+    entries for files a compaction deleted are dropped when their pid dir is
+    next globbed (immutability makes stale entries harmless, just wasteful).
+    """
+
+    def __init__(self, max_bytes: int = 512 * 1024 * 1024):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self.entries = OrderedDict()  # path -> (segment, nbytes)
+        self.total = 0
+
+    def _segment_from_table(self, table):
+        h1 = table.column("h1").to_numpy().astype(np.uint64)
+        h2 = table.column("h2").to_numpy().astype(np.uint64)
+        key = h1 * np.uint64(_MIX) ^ h2
+        urls = table.column("url").combine_chunks()
+        nbytes = key.nbytes * 2 + urls.nbytes
+        return (key, np.sort(key), urls), nbytes
+
+    def get(self, path: str):
+        hit = self.entries.get(path)
+        if hit is not None:
+            self.entries.move_to_end(path)
+            return hit[0]
+        # may raise FileNotFoundError — caller re-globs (compaction race)
+        seg, nbytes = self._segment_from_table(
+            pq.read_table(path, columns=["h1", "h2", "url"])
+        )
+        self.entries[path] = (seg, nbytes)
+        self.total += nbytes
+        while self.total > self.max_bytes and len(self.entries) > 1:
+            _, (_seg, freed) = self.entries.popitem(last=False)
+            self.total -= freed
+        return seg
+
+    def prune(self, pid_dir: str, live: set):
+        """Drop entries for this pid dir that a compaction deleted."""
+        prefix = pid_dir.rstrip(os.sep) + os.sep
+        dead = [
+            p
+            for p in self.entries
+            if p.startswith(prefix) and p not in live
+        ]
+        for p in dead:
+            _seg, freed = self.entries.pop(p)
+            self.total -= freed
+
+
+_SEGMENTS = _SegmentCache()
+_BLOOMS: dict = {}  # blob path -> bitmap (epoch in the name ⇒ immutable)
+
+
+def _load_pid_segments(pid_dir: str, cache: _SegmentCache):
+    """All membership segments for a pid, via the worker-local cache.
+
+    Same compaction-race contract as ``_read_delta_tables``: if any file
+    vanishes between the glob and its read, redo the whole pass — the
+    re-glob then sees the compact file that subsumed it.
+    """
+    while True:
+        paths = sorted(glob.glob(os.path.join(pid_dir, "*.parquet")))
+        cache.prune(pid_dir, set(paths))
+        segments = []
+        vanished = False
+        for path in paths:
+            try:
+                segments.append(cache.get(path))
+            except FileNotFoundError:
+                vanished = True
+                break
+        if not vanished:
+            return segments
+
+
+def _cached_bitmap(path: str) -> np.ndarray:
+    """Bloom bitmap by blob path; epoch-versioned names make paths immutable
+    so the cache never serves a stale bitmap. Old-epoch entries are evicted
+    lazily (bounded: one live epoch per pid at a time)."""
+    bm = _BLOOMS.get(path)
+    if bm is None:
+        bm = np.fromfile(path, dtype=np.uint8)
+        stem = path.rsplit("-epoch=", 1)[0]
+        for old in [
+            p for p in _BLOOMS if p.rsplit("-epoch=", 1)[0] == stem
+        ]:
+            del _BLOOMS[old]
+        _BLOOMS[path] = bm
+    return bm
+
+
 class PartitionedBloomSeenStore:
     def __init__(
         self,
@@ -280,7 +390,7 @@ class PartitionedBloomSeenStore:
             if path is None:
                 pdf["_maybe_seen"] = False
                 return pdf
-            bloom = BloomFilter(np.fromfile(path, dtype=np.uint8), n_bits, k)
+            bloom = BloomFilter(_cached_bitmap(path), n_bits, k)
             flags = bloom.might_contain(
                 pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
             )
@@ -330,38 +440,44 @@ class PartitionedBloomSeenStore:
             out_cols = [c for c in pdf.columns if c not in ("_h1", "_h2", "_pid")]
             if blob is None:
                 return pdf[out_cols]
-            bloom = BloomFilter(np.fromfile(blob, dtype=np.uint8), n_bits, k)
+            bloom = BloomFilter(_cached_bitmap(blob), n_bits, k)
             maybe = bloom.might_contain(
                 pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
             )
             keep = np.ones(len(pdf), dtype=bool)
             if maybe.any():
                 pid_dir = os.path.join(urls_root, f"pid={pid:05d}")
-                # one read, all three columns: the hash match uses the int64
-                # views; a hit reuses THIS table's url column (no second pass)
-                tables = _read_delta_tables(pid_dir, columns=["h1", "h2", "url"])
-                if tables:
-                    seen = pa.concat_tables(tables)
+                # membership segments come from the worker-local cache of
+                # immutable delta files: only files written SINCE this
+                # worker's last call hit the filesystem (steady-state cost
+                # tracks the delta, not the accumulated set)
+                segments = _load_pid_segments(pid_dir, _SEGMENTS)
+                if segments:
                     # combined 64-bit key of the (h1,h2) pair — wraparound
                     # multiply-xor mixes both words; a pair-key collision
                     # between DIFFERENT urls needs a joint 64-bit accident,
                     # resolved below with a string check on the hits only
-                    mix = np.uint64(0xFF51AFD7ED558CCD)
-                    seen_key = (
-                        seen.column("h1").to_numpy().astype(np.uint64) * mix
-                    ) ^ seen.column("h2").to_numpy().astype(np.uint64)
                     cand_key = (
-                        pdf["_h1"].to_numpy().astype(np.uint64) * mix
+                        pdf["_h1"].to_numpy().astype(np.uint64) * np.uint64(_MIX)
                     ) ^ pdf["_h2"].to_numpy().astype(np.uint64)
-                    hits = maybe & np.isin(cand_key, seen_key)
+                    hits = np.zeros(len(pdf), dtype=bool)
+                    for _key, key_sorted, _urls in segments:
+                        if len(key_sorted) == 0:
+                            continue
+                        idx = np.searchsorted(key_sorted, cand_key)
+                        idx[idx == len(key_sorted)] = 0
+                        hits |= key_sorted[idx] == cand_key
+                    hits &= maybe
                     if hits.any():
                         # exact resolve: url strings for the hit keys only
-                        relevant = np.isin(seen_key, cand_key[hits])
-                        seen_urls = set(
-                            seen.column("url")
-                            .filter(pa.array(relevant))
-                            .to_pylist()
-                        )
+                        hit_keys = cand_key[hits]
+                        seen_urls = set()
+                        for key, _key_sorted, urls in segments:
+                            relevant = np.isin(key, hit_keys)
+                            if relevant.any():
+                                seen_urls.update(
+                                    urls.filter(pa.array(relevant)).to_pylist()
+                                )
                         confirmed = pdf["url"].isin(seen_urls).to_numpy()
                         keep = ~(hits & confirmed)
             return pdf.loc[keep, out_cols]

@@ -226,3 +226,94 @@ def ivf_topk(
     ).dropDuplicates([q_id, c_id])
     win = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(win)).filter(F.col("rnk") <= k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_tables: int = 6,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine(vec_a, vec_b) >= threshold.
+
+    The dense-vector flavor of the dedup family (``operators/dedup.py``:
+    exact hash / MinHash+LSH / SimHash / n-gram Jaccard) — near-dup on an
+    embedding column instead of token sets.
+
+    * ``method="exact"`` — all-pairs self-join with a JVM-side cosine.
+      O(n^2): the correctness baseline, run on a pre-filtered candidate set
+      (one suspect partition, one bucket), never a 100 TB corpus.
+    * ``method="lsh"`` — the scale path: sign-LSH bucketing (the same
+      deterministic hyperplanes as ``lsh_topk``); a candidate pair is any
+      two ids sharing a bucket in ANY of ``n_tables`` tables, then exact
+      cosine verifies each candidate. The self-join is bucket-local —
+      equality join on (table, bucket) — so no cross product ever
+      materializes; the shuffle carries (id, vec) keyed by bucket. Recall
+      < 1 by design and measured against the exact baseline in
+      tests/test_similarity.py: for pairs at cosine >= 0.9, 6 tables x
+      8 bits collide with probability ~1 - (1 - (1 - acos(s)/pi)^8)^6
+      >= 0.99. Requires ``dim``.
+
+    score is the exact cosine (double) in both methods — the LSH stage only
+    selects candidates, never decides membership.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if method == "exact":
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        tables = [
+            [_hyperplane(dim, t, bit) for bit in range(n_bits)]
+            for t in range(n_tables)
+        ]
+
+        def bucketize(side: DataFrame, idc: str, vecc: str) -> DataFrame:
+            return side.select(
+                idc,
+                vecc,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("table"),
+                                lsh_bucket(F.col(vecc), tables[t]).alias(
+                                    "bucket"
+                                ),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(
+                idc,
+                vecc,
+                F.col("tb.table").alias("table"),
+                F.col("tb.bucket").alias("bucket"),
+            )
+
+        cand = (
+            bucketize(a, "id_a", "_va")
+            .join(
+                bucketize(b, "id_b", "_vb"),
+                ["table", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1031,6 +1031,48 @@ SQL_ANN_COSINE = """SELECT q_id, vec_id, rnk FROM (
 ) WHERE rnk <= 3"""
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dense-vector dedup flavor).
+
+    The raw embeddings have no natural near-dups (max pairwise cosine 0.51
+    at sf0.01), so the query plants them the same way ``ngram_jaccard``
+    does: each vector vec_id < 60 gets a shifted copy (x*1.1 + 0.05, id +
+    1_000_000) whose cosine to its source is >= 0.93 while every cross pair
+    stays <= 0.48 — a wide margin around threshold 0.8, so float-vs-double
+    drift between engines can't flip membership. The exact all-pairs method
+    is the oracle-checkable baseline; the LSH-bucketed scale path is
+    recall-tested against it in tests/test_similarity.py.
+
+    The score column is intentionally NOT emitted: Spark and DuckDB agree on
+    which pairs clear the threshold (wide margin) but not bit-for-bit on the
+    cosine value.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    near = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1) + F.lit(0.05)).alias(
+            "embedding"
+        ),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(near)
+    pairs = similarity.neardup_pairs(both, threshold=0.8, method="exact")
+    return pairs.select("id_a", "id_b")
+
+
+SQL_EMBED_NEARDUP = """WITH sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id < 60
+), combined AS (
+  SELECT vec_id, embedding FROM sub
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.1 + 0.05)
+  FROM sub
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM combined a JOIN combined b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check; pytest oracles)
 # --------------------------------------------------------------------------
@@ -1392,6 +1434,7 @@ _ORACLES = {
     "lang_detect": SQL_LANG_DETECT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE,
+    "embed_neardup": SQL_EMBED_NEARDUP,
     "fb_keyword_counts": SQL_FB_KEYWORD_COUNTS,
     "filename_sanitize": SQL_FILENAME_SANITIZE,
     "page_metadata": SQL_PAGE_METADATA,
@@ -1439,6 +1482,7 @@ _QUERIES = {
     "lang_detect": q_lang_detect,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embed_neardup": q_embed_neardup,
     "fb_keyword_counts": q_fb_keyword_counts,
     "filename_sanitize": q_filename_sanitize,
     "page_metadata": q_page_metadata,

@@ -227,3 +227,23 @@ def test_politeness_prune_selects_identical_batch(spark):
     assert sel_pruned == sel_base
     assert carry_pruned == carry_base
     assert len(sel_base) == 7 + 10 * 5  # budgets honored
+
+
+def test_segment_cache_never_stale_across_interleaved_supersteps(spark, tmp_path):
+    """The worker-local segment cache must never serve stale membership:
+    every superstep interleaves filter_new (warm cache) with update (new
+    delta files) and compaction (files deleted + rewritten). A url added in
+    step k must be flagged seen in every later step; a fresh url must always
+    pass."""
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=2, expected_urls=2000, compact_above=3
+    )
+    seen_so_far = []
+    for step in range(8):
+        urls = [f"https://h{i % 2}.com/s{step}/p{i}" for i in range(40)]
+        assert store.filter_new(_urls_df(spark, urls)).count() == len(urls)
+        if seen_so_far:
+            assert store.filter_new(_urls_df(spark, seen_so_far)).count() == 0
+        store.update(_urls_df(spark, urls))
+        seen_so_far += urls
+    assert store.filter_new(_urls_df(spark, seen_so_far)).count() == 0

@@ -83,3 +83,49 @@ def test_lsh_candidates_subset_scored_correctly(spark, split):
         F.abs(F.col("score") - F.col("ascore")) > 1e-5
     ).count()
     assert mismatched == 0
+
+
+def _planted_neardup_df(emb):
+    """vec_id < 40 plus a shifted copy of each (id + 1000) — every (i, i+1000)
+    pair has cosine >= 0.93, every other pair <= 0.48 (measured)."""
+    base = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    near = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.1) + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    return base.unionByName(near)
+
+
+def test_neardup_exact_finds_planted_pairs(spark, emb):
+    both = _planted_neardup_df(emb)
+    pairs = similarity.neardup_pairs(both, threshold=0.8, method="exact")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(40)}
+    # score is the exact cosine: all planted pairs far from the threshold
+    assert all(r["score"] > 0.9 for r in pairs.collect())
+
+
+def test_neardup_lsh_recall_vs_exact(spark, emb):
+    """The bucketed scale path must recover nearly every exact pair, and
+    every pair it emits must be a true pair (cosine verify is exact)."""
+    both = _planted_neardup_df(emb)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs(
+            both, threshold=0.8, method="exact"
+        ).collect()
+    }
+    # planted pairs sit at cosine ~0.93 → per-bit collision p = 1 -
+    # acos(0.93)/pi = 0.88; 6 bits x 8 tables gives expected pair recall
+    # 1 - (1 - 0.88^6)^8 ~ 0.99 (8 bits x 6 tables measured only 0.85)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs(
+            both, threshold=0.8, method="lsh", dim=64, n_tables=8, n_bits=6
+        ).collect()
+    }
+    assert lsh <= exact  # no false pairs: candidates are cosine-verified
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH pair recall {recall} below 0.9"
