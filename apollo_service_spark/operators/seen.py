@@ -391,21 +391,21 @@ class PartitionedBloomSeenStore:
             "_maybe_seen", F.lit(True)
         ).schema
 
-        def check(pdf: pd.DataFrame) -> pd.DataFrame:
-            pid = int(pdf["_pid"].iloc[0])
+        def check(table: pa.Table) -> pa.Table:
+            pid = int(table.column("_pid")[0].as_py())
             path = _latest_blob(root, pid)
-            pdf = pdf.drop(columns=["_pid"])
+            table = table.drop_columns(["_pid"])
             if path is None:
-                pdf["_maybe_seen"] = False
-                return pdf
-            bloom = BloomFilter(_cached_bitmap(path), n_bits, k)
-            flags = bloom.might_contain(
-                pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
-            )
-            pdf["_maybe_seen"] = flags
-            return pdf
+                flags = np.zeros(table.num_rows, dtype=bool)
+            else:
+                bloom = BloomFilter(_cached_bitmap(path), n_bits, k)
+                flags = bloom.might_contain(
+                    table.column("_h1").to_numpy(),
+                    table.column("_h2").to_numpy(),
+                )
+            return table.append_column("_maybe_seen", pa.array(flags))
 
-        flagged = keyed.groupBy("_pid").applyInPandas(check, schema=out_schema)
+        flagged = keyed.groupBy("_pid").applyInArrow(check, schema=out_schema)
         definitely_new = flagged.filter(~F.col("_maybe_seen")).select(*cols)
         maybe_seen = flagged.filter(F.col("_maybe_seen")).select(*cols)
         return definitely_new, maybe_seen
