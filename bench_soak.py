@@ -238,6 +238,12 @@ def main() -> None:
             )
 
         rows = "".join(_row(m) for m in metrics)
+        # warm small-superstep wall: mean of the tail-probe rows after its
+        # one-off first resumed iteration (the last two rows of the table)
+        tail_wall = (
+            round(sum(m["wall_s"] for m in metrics[-2:]) / 2, 1)
+            if len(metrics) >= 2 else float("nan")
+        )
         with open("BENCH/SOAK.md", "w", encoding="utf-8") as f:
             f.write(f"""# BENCH/SOAK — 10^7-url frontier soak (100×-shaped evidence)
 
@@ -261,7 +267,7 @@ budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
 * the last three rows are the SMALL-SUPERSTEP TAIL probe: the crawl is
   resumed with budget 2/host, so each superstep schedules ~1,000 urls
   against the accumulated 8.3M-url store. After the resumed engine's one-off
-  first iteration, a small superstep completes in ~4.5 s wall — plan +
+  first iteration, a small superstep completes in ~{tail_wall} s wall — plan +
   commit + store update included (VERDICT r3 task #2; was ~20 s fixed in
   r3). Two fixes carry this: the small-batch fetch path (broadcast
   semi-probe over the raw pages scan — no corpus shuffle) and per-pid
