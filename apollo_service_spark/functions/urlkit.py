@@ -202,7 +202,11 @@ def host_salted_partition(
     same url always lands on the same partition, so partition-local
     membership checks stay exact) while a mega-host's urls distribute
     uniformly. ``spread=1`` / ``url=None`` recovers pure host locality."""
-    base = F.xxhash64(host, F.lit(salt))
+    # pmod the host hash BEFORE adding the url offset: pmod(H, P) + O fits
+    # trivially in int64 and pmod(pmod(H, P) + O, P) == pmod(H + O, P), while
+    # the raw H + O could overflow int64 for a host hash within `spread` of
+    # Long.MAX — an ArithmeticException under ANSI mode (the Spark 4 default)
+    base = F.pmod(F.xxhash64(host, F.lit(salt)), F.lit(n_partitions))
     if url is not None:
         spread = n_partitions if spread is None else spread
         if spread > 1:

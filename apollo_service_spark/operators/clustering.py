@@ -139,9 +139,14 @@ def cluster_urls(
     path_depth: int = 2,
     min_cluster_size: int = 2,
     similarity_threshold: float = 0.5,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """urls: DataFrame with a string `url` column → clusters DataFrame
-    (domain, domain_id, cluster_id, path_pattern, url_count, urls)."""
+    (domain, domain_id, cluster_id, path_pattern, url_count, urls).
+
+    ``cleanup``: optional list receiving the domain-id ranker's persisted
+    intermediate (see ``ranking.global_row_number``); long-lived callers
+    unpersist the appended frame(s) AFTER materializing the result."""
 
     comps = urls.select(
         F.col("url"),
@@ -190,7 +195,8 @@ def cluster_urls(
     # When the dim is genuinely runtime-small, AQE converts to broadcast on
     # actual stats — the right call at every scale, made with data.
     domain_ids = global_row_number(
-        merged.select("domain").distinct(), ["domain"], rank_col="_did"
+        merged.select("domain").distinct(), ["domain"], rank_col="_did",
+        cleanup=cleanup,
     ).withColumn("domain_id", F.col("_did").cast("string")).drop("_did")
     return (
         merged.join(domain_ids, "domain")

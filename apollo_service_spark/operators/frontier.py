@@ -374,8 +374,17 @@ class FrontierEngine:
             # fetch join: small supersteps probe the raw pages scan with a
             # broadcast semi-join (scan-only, zero corpus shuffle) and join
             # the pruned hits; big supersteps use the cached url-partitioned
-            # layout. The driver-side frontier_size gate costs no jobs.
-            if frontier_size <= cfg.small_batch_threshold:
+            # layout. The gate uses the tightest driver-known bound on the
+            # BATCH size (zero jobs): frontier_size always bounds it, and
+            # when the page limit binds the truncation above caps the batch
+            # at `remaining` — the deep-crawl tail regime (small page budget
+            # against a large residual frontier) takes the fast path.
+            batch_bound = frontier_size
+            if cfg.max_pages is not None:
+                batch_bound = min(
+                    batch_bound, max(cfg.max_pages - pages_fetched, 0)
+                )
+            if batch_bound <= cfg.small_batch_threshold:
                 fetch_src = self.pages_raw.join(
                     F.broadcast(ranked.select("url")), "url", "left_semi"
                 )

@@ -44,7 +44,10 @@ Three rules make every interleaving safe:
   read/delete of a delta file tolerates the file vanishing under it (a
   concurrent compaction subsumed it);
 * **blobs are epoch-versioned, never overwritten in place**
-  (``pid=N-epoch=K.bin``): readers take the highest epoch, so a zombie
+  (``pid=N-epoch=K-<uuid>.bin`` — the random suffix means a PATH is never
+  reused either, so worker-local bitmap caches stay valid across
+  ``reset()``, whose epoch numbering restarts at 0): readers take the
+  highest epoch, so a zombie
   writer from superstep *k* completing after superstep *k+1*'s write cannot
   regress the bitmap below the url files — it only re-creates an older-epoch
   file that readers ignore and the next writer garbage-collects. (An
@@ -83,16 +86,23 @@ from .bloom import BloomFilter, optimal_bits, optimal_k
 _H1_SALT = 0x9E3779B9
 _H2_SALT = 0x85EBCA6B
 
-_BLOB_RE = re.compile(r"pid=(\d+)-epoch=(\d+)\.bin$")
+_BLOB_RE = re.compile(r"pid=(\d+)-epoch=(\d+)(?:-[0-9a-f]+)?\.bin$")
 
 
 def _latest_blob(root: str, pid: int) -> str | None:
     """Highest-epoch blob for a pid (readers ignore zombie re-creations of
-    older epochs); returns None when the pid has no blob yet."""
+    older epochs); returns None when the pid has no blob yet.
+
+    Equal epochs (two attempts of the same writer task, identical content by
+    construction) tie-break on the path string for determinism. Blob names
+    carry a per-write random suffix so a path is NEVER reused — epoch
+    numbering restarts at 0 after ``reset()``, and a reused path would let a
+    long-lived Python worker's ``_BLOOMS`` entry serve the PREVIOUS crawl's
+    bitmap (bloom false negatives ⇒ seen urls re-scheduled)."""
     best, best_epoch = None, -1
     for path in glob.glob(os.path.join(root, f"pid={pid:05d}-epoch=*.bin")):
         m = _BLOB_RE.search(path)
-        if m and int(m.group(2)) > best_epoch:
+        if m and (int(m.group(2)), path) > (best_epoch, best or ""):
             best, best_epoch = path, int(m.group(2))
     return best
 
@@ -346,7 +356,11 @@ class PartitionedBloomSeenStore:
             # epoch-versioned blob: never replace in place (see module
             # docstring — a zombie attempt overwriting a newer blob would
             # regress the bloom below the url files)
-            path = os.path.join(root, f"pid={pid:05d}-epoch={epoch:06d}.bin")
+            # unique per-write suffix: paths are never reused (epoch numbers
+            # restart after reset(); worker-local caches key on the path)
+            path = os.path.join(
+                root, f"pid={pid:05d}-epoch={epoch:06d}-{uuid.uuid4().hex}.bin"
+            )
             tmp = path + f".tmp-{uuid.uuid4().hex}"
             bloom.bitmap.tofile(tmp)
             os.replace(tmp, path)

@@ -1090,14 +1090,22 @@ def q_cluster_greedy(spark, sf_dir):
     the partition property makes exact: per-domain Σ url_count must equal
     the domain's distinct-url count, which DuckDB computes independently."""
     urls = _urls_df(spark, sf_dir).dropDuplicates(["url"]).select("url")
-    clusters = cluster_urls(urls, path_depth=2, min_cluster_size=1)
-    return (
+    cache: list = []
+    clusters = cluster_urls(urls, path_depth=2, min_cluster_size=1, cleanup=cache)
+    agg = (
         clusters.groupBy("domain")
         .agg(
             F.sum("url_count").alias("urls_clustered"),
             F.max(F.col("domain_id").cast("long")).alias("domain_id_num"),
         )
     )
+    # materialize the (tiny, per-domain) aggregate, then release the domain-id
+    # ranker's persisted intermediate — returning the lazy plan instead would
+    # leak one cached frame per invocation for the session lifetime
+    rows = agg.collect()
+    for frame in cache:
+        frame.unpersist()
+    return spark.createDataFrame(rows, agg.schema)
 
 
 SQL_CLUSTER_GREEDY = f"""{ORACLE_URLS_CTE}
@@ -1199,7 +1207,8 @@ def q_crawl_frontier(spark, sf_dir):
             politeness=corpus["politeness"],
         )
         engine.run(seeds=corpus["seeds"])
-        log = crawl_log_df(spark, store).select(
+        cache: list = []
+        log = crawl_log_df(spark, store, cleanup=cache).select(
             "url", "iteration", "rank", "status", "is_document"
         )
         # SQL-checkable projection of the full crawl: per-iteration scheduled
@@ -1223,9 +1232,13 @@ def q_crawl_frontier(spark, sf_dir):
                 F.max("rank").alias("max_rank"),
             )
         )
-        agg = agg.persist()
-        agg.count()  # materialize before the store directory vanishes
-        return agg
+        # materialize before the store directory vanishes, then release the
+        # rank derivation's persisted intermediate (no per-invocation cache
+        # leak); the 6-row aggregate travels as a local-backed DataFrame
+        rows = agg.collect()
+        for frame in cache:
+            frame.unpersist()
+        return spark.createDataFrame(rows, agg.schema)
 
 
 @functools.lru_cache(maxsize=1)

@@ -177,11 +177,18 @@ def main() -> None:
         crawl_s = round(time.monotonic() - t0, 1)
 
         # small-superstep tail probe (VERDICT r3 task #2): resume the SAME
-        # crawl with a tiny per-host budget, so each superstep schedules
-        # ~1k urls against the accumulated multi-million-url store in a warm
-        # session — the "long tail of a deep crawl" shape whose fixed cost
-        # the small-batch fetch path (broadcast semi-probe, no corpus
-        # shuffle) is built to bound.
+        # crawl with a tiny per-host budget AND a page budget ~9k above the
+        # pages already fetched, so each superstep schedules ~1k urls against
+        # the accumulated multi-million-url store in a warm session — the
+        # "long tail of a deep crawl" shape (small batch, large residual
+        # frontier, page limit binding). The binding limit gives the engine a
+        # driver-known batch bound ≤ small_batch_threshold, engaging the
+        # small-batch fetch path (broadcast semi-probe over the raw pages
+        # scan — no corpus shuffle) plus the truncation-rank materialization
+        # that regime really pays.
+        prior_fetched = sum(
+            m.get("pages_fetched", 0) for m in store.iteration_metrics()
+        )
         tail_engine = FrontierEngine(
             spark,
             pages,
@@ -190,6 +197,7 @@ def main() -> None:
                 default_budget=2,
                 n_partitions=N_PARTITIONS,
                 max_iterations=3,
+                max_pages=prior_fetched + 9_000,
                 expected_urls=URL_SPACE * 2,
                 respect_robots=False,
             ),
@@ -265,14 +273,17 @@ budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
   accumulates on the driver; the accumulated seen set lives in per-pid blobs
   + parquet deltas on disk
 * the last three rows are the SMALL-SUPERSTEP TAIL probe: the crawl is
-  resumed with budget 2/host, so each superstep schedules ~1,000 urls
-  against the accumulated 8.3M-url store. After the resumed engine's one-off
-  first iteration, a small superstep completes in ~{tail_wall} s wall — plan +
-  commit + store update included (VERDICT r3 task #2; was ~20 s fixed in
-  r3). Two fixes carry this: the small-batch fetch path (broadcast
-  semi-probe over the raw pages scan — no corpus shuffle) and per-pid
-  staggered compaction (one threshold made every pid compact in the same
-  superstep, a single ~60 s store-update storm in the first r4 soak).
+  resumed with budget 2/host and a page budget binding ~9k pages out, so
+  each superstep schedules ~1,000 urls against the accumulated 8.3M-url
+  store — and the binding page limit gives the engine a driver-known batch
+  bound that engages the small-batch fetch path (broadcast semi-probe over
+  the raw pages scan — no corpus shuffle) plus the truncation-rank pass
+  that regime pays. After the resumed engine's one-off first iteration, a
+  small superstep completes in ~{tail_wall} s wall — plan + commit + store
+  update included (VERDICT r3 task #2; was ~20 s fixed in r3). Per-pid
+  staggered compaction also carries this (one shared threshold made every
+  pid compact in the same superstep — a single ~60 s store-update storm in
+  the first r4 soak).
 * per-scheduled-url superstep cost (first vs last ≥100k-url superstep):
   {summary['per_url_cost_first_vs_last']} µs —
   {'SUB-LINEAR in accumulated seen size (store cost tracks the delta)'

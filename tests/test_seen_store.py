@@ -247,3 +247,38 @@ def test_segment_cache_never_stale_across_interleaved_supersteps(spark, tmp_path
         store.update(_urls_df(spark, urls))
         seen_so_far += urls
     assert store.filter_new(_urls_df(spark, seen_so_far)).count() == 0
+
+
+def test_blob_paths_never_reused_across_reset(spark, tmp_path):
+    """Fresh-crawl safety for long-lived Python workers: reset() restarts
+    epoch numbering at 0, so blob PATHS must never repeat — a reused path
+    would let a persistent worker's bitmap cache (keyed by path) serve the
+    previous crawl's bloom, producing false NEGATIVES that re-schedule
+    already-seen urls. The random per-write suffix makes every blob path
+    unique; membership stays correct across reset in the same session."""
+    import glob
+    import os
+
+    store = PartitionedBloomSeenStore(
+        str(tmp_path), n_partitions=2, expected_urls=2000
+    )
+    crawl_a = [f"https://h{i % 2}.com/a{i}" for i in range(200)]
+    store.update(_urls_df(spark, crawl_a))
+    paths_a = set(glob.glob(os.path.join(store.root, "pid=*.bin")))
+    assert paths_a
+
+    # warm the worker bitmap caches on crawl A's blobs
+    assert store.filter_new(_urls_df(spark, crawl_a)).count() == 0
+
+    store.reset()
+    crawl_b = [f"https://h{i % 2}.com/b{i}" for i in range(200)]
+    store.update(_urls_df(spark, crawl_b))
+    paths_b = set(glob.glob(os.path.join(store.root, "pid=*.bin")))
+    assert paths_b and not (paths_a & paths_b), (
+        "blob paths reused across reset()", paths_a & paths_b
+    )
+
+    # crawl B's urls must be flagged seen even by workers that cached A's
+    # bitmaps; crawl A's urls are genuinely new again after the reset
+    assert store.filter_new(_urls_df(spark, crawl_b)).count() == 0
+    assert store.filter_new(_urls_df(spark, crawl_a)).count() == len(crawl_a)
