@@ -176,33 +176,44 @@ def main() -> None:
         result = engine.run(seeds=seeds)
         crawl_s = round(time.monotonic() - t0, 1)
 
-        # small-superstep tail probe (VERDICT r3 task #2): resume the SAME
-        # crawl with a tiny per-host budget AND a page budget ~9k above the
-        # pages already fetched, so each superstep schedules ~1k urls against
-        # the accumulated multi-million-url store in a warm session — the
-        # "long tail of a deep crawl" shape (small batch, large residual
-        # frontier, page limit binding). The binding limit gives the engine a
-        # driver-known batch bound ≤ small_batch_threshold, engaging the
-        # small-batch fetch path (broadcast semi-probe over the raw pages
-        # scan — no corpus shuffle) plus the truncation-rank materialization
-        # that regime really pays.
+        # small-superstep tail probes (VERDICT r3 task #2): resume the SAME
+        # crawl with a tiny per-host budget, so each superstep schedules
+        # ~1k urls against the accumulated multi-million-url store in a warm
+        # session — the "long tail of a deep crawl" shape. Two regimes:
+        #
+        # A) budget-limited only (no page cap): the engine has no driver-side
+        #    batch bound below the frontier size, so the fetch joins the
+        #    cached url-partitioned corpus — the plain deep-tail shape.
+        # B) a page budget binding ~9k pages out: the driver-known batch
+        #    bound (remaining ≤ small_batch_threshold) engages the
+        #    small-batch fetch path (broadcast semi-probe over the raw pages
+        #    scan — no corpus shuffle), and the superstep additionally pays
+        #    the deterministic truncation-rank pass that regime requires.
+        n_main = len(store.iteration_metrics())
+
+        def tail_probe(max_pages=None):
+            eng = FrontierEngine(
+                spark,
+                pages,
+                store,
+                CrawlConfig(
+                    default_budget=2,
+                    n_partitions=N_PARTITIONS,
+                    max_iterations=3,
+                    max_pages=max_pages,
+                    expected_urls=URL_SPACE * 2,
+                    respect_robots=False,
+                ),
+            )
+            eng.run(resume=True)
+
+        tail_probe()
+        n_tail_a = len(store.iteration_metrics())
         prior_fetched = sum(
             m.get("pages_fetched", 0) for m in store.iteration_metrics()
         )
-        tail_engine = FrontierEngine(
-            spark,
-            pages,
-            store,
-            CrawlConfig(
-                default_budget=2,
-                n_partitions=N_PARTITIONS,
-                max_iterations=3,
-                max_pages=prior_fetched + 9_000,
-                expected_urls=URL_SPACE * 2,
-                respect_robots=False,
-            ),
-        )
-        tail_engine.run(resume=True)
+        tail_probe(max_pages=prior_fetched + 9_000)
+        n_tail_b = len(store.iteration_metrics())
 
         metrics = store.iteration_metrics()
         total_scheduled = sum(m.get("scheduled", 0) for m in metrics)
@@ -246,12 +257,14 @@ def main() -> None:
             )
 
         rows = "".join(_row(m) for m in metrics)
-        # warm small-superstep wall: mean of the tail-probe rows after its
-        # one-off first resumed iteration (the last two rows of the table)
-        tail_wall = (
-            round(sum(m["wall_s"] for m in metrics[-2:]) / 2, 1)
-            if len(metrics) >= 2 else float("nan")
-        )
+        # warm small-superstep wall per probe: mean of the probe's rows
+        # after its one-off first resumed iteration
+        def _probe_wall(lo, hi):
+            walls = [m["wall_s"] for m in metrics[lo + 1 : hi]]
+            return round(sum(walls) / len(walls), 1) if walls else float("nan")
+
+        tail_wall_a = _probe_wall(n_main, n_tail_a)
+        tail_wall_b = _probe_wall(n_tail_a, n_tail_b)
         with open("BENCH/SOAK.md", "w", encoding="utf-8") as f:
             f.write(f"""# BENCH/SOAK — 10^7-url frontier soak (100×-shaped evidence)
 
@@ -272,18 +285,22 @@ budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
   {os.environ.get('SPARK_DRIVER_MEMORY', '48g')}) — nothing seen-shaped
   accumulates on the driver; the accumulated seen set lives in per-pid blobs
   + parquet deltas on disk
-* the last three rows are the SMALL-SUPERSTEP TAIL probe: the crawl is
-  resumed with budget 2/host and a page budget binding ~9k pages out, so
-  each superstep schedules ~1,000 urls against the accumulated 8.3M-url
-  store — and the binding page limit gives the engine a driver-known batch
-  bound that engages the small-batch fetch path (broadcast semi-probe over
-  the raw pages scan — no corpus shuffle) plus the truncation-rank pass
-  that regime pays. After the resumed engine's one-off first iteration, a
-  small superstep completes in ~{tail_wall} s wall — plan + commit + store
-  update included (VERDICT r3 task #2; was ~20 s fixed in r3). Per-pid
-  staggered compaction also carries this (one shared threshold made every
-  pid compact in the same superstep — a single ~60 s store-update storm in
-  the first r4 soak).
+* the last six rows are two SMALL-SUPERSTEP TAIL probes — the crawl resumed
+  with budget 2/host, each superstep scheduling ~1,000 urls against the
+  accumulated 8.3M-url store (VERDICT r3 task #2; was ~20 s fixed in r3):
+  - rows {n_main + 1}–{n_tail_a}: budget-limited only — after the resumed
+    engine's one-off first iteration, a warm small superstep completes in
+    ~{tail_wall_a} s wall (plan + commit + store update included). The wins
+    over r3 are the persisted url-partitioned corpus layout and per-pid
+    STAGGERED compaction (one shared threshold made every pid compact in
+    the same superstep — a single ~60 s store-update storm in the first r4
+    soak).
+  - rows {n_tail_a + 1}–{n_tail_b}: a page budget binding ~9k pages out —
+    the driver-known batch bound engages the small-batch fetch path
+    (broadcast semi-probe over the raw pages scan, no corpus shuffle), and
+    the superstep additionally pays the deterministic truncation-rank pass
+    that a binding page limit requires: ~{tail_wall_b} s wall warm. The
+    rank materialization, not the fetch, is that regime's fixed cost.
 * per-scheduled-url superstep cost (first vs last ≥100k-url superstep):
   {summary['per_url_cost_first_vs_last']} µs —
   {'SUB-LINEAR in accumulated seen size (store cost tracks the delta)'
