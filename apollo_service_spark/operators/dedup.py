@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Four tiers, all shuffle-conscious:
+Five tiers, all shuffle-conscious:
 
 * **exact** — fingerprint (xxhash64 of normalized text) groupBy; one shuffle
   on a 64-bit key, keep min doc_id per group.
@@ -12,6 +12,10 @@ Four tiers, all shuffle-conscious:
   higher-order array functions); near-dups = identical simhash or Hamming
   distance ≤ r via band rotation.
 * **embedding cosine** — see similarity.py; near-dup = cosine ≥ threshold.
+* **winnowing** — MOSS rolling-hash fingerprints (O(n) recurrence in an
+  Arrow UDF) → inverted-index self-join on the 64-bit fingerprint; catches
+  shared RUNS of text (containment/boilerplate) that whole-document and
+  token-set methods miss.
 
 No silent caps: every opt-in cap (``max_ids_per_group``, ``max_bucket_size``,
 ``max_posting_size``) accepts a ``drop_observation`` —  a
@@ -524,4 +528,121 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# --------------------------------------------------------------------------
+
+_WINNOW_MOD = (1 << 61) - 1  # Mersenne prime: products fit Python ints, fps fit int64
+_WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): a TRUE rolling hash — h(i+1) = (h(i) − c(i)·B^(k−1))·B + c(i+k)
+    mod 2^61−1 over the char codes of the whitespace-normalized, lowercased
+    text — then the minimum hash of every ``window`` consecutive k-grams is
+    selected. Returns the DISTINCT ``(id, fp)`` posting table.
+
+    Guarantee (the reason winnowing beats "every j-th k-gram" sampling): any
+    shared substring of length ≥ k + window − 1 between two documents is
+    certain to contribute at least one shared fingerprint, while only
+    ~2/(window+1) of all k-grams are retained. The O(n) rolling recurrence
+    runs in an Arrow-batched pandas UDF (per-row Python is the reference's
+    shape, not ours); everything downstream — explode, distinct, the pairs
+    self-join — is JVM-side on a 64-bit key, the same one-shuffle posting
+    shape as :func:`ngram_jaccard_pairs`.
+
+    The whole-document xxhash64 in :func:`exact_dedup` answers "byte-equal
+    after normalization?"; winnowing answers "which documents share RUNS of
+    text?" — the containment/boilerplate case exact dedup cannot see.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    mod, base = _WINNOW_MOD, _WINNOW_BASE
+    top = pow(base, k - 1, mod)
+
+    def _winnow_batch(texts):
+        import re as _re
+
+        def fps(text):
+            if text is None:
+                return []
+            t = _re.sub(r"\s+", " ", text.strip()).lower()
+            n = len(t)
+            if n < k:
+                return []
+            codes = [ord(c) for c in t]
+            h = 0
+            for c in codes[:k]:
+                h = (h * base + c) % mod
+            hashes = [h]
+            for i in range(k, n):
+                h = ((h - codes[i - k] * top) * base + codes[i]) % mod
+                hashes.append(h)
+            out = set()
+            lo = min(hashes[:window])
+            out.add(lo)
+            for i in range(1, len(hashes) - window + 1):
+                # recompute only when the previous min slides out of the window
+                if hashes[i - 1] == lo:
+                    lo = min(hashes[i : i + window])
+                else:
+                    nxt = hashes[i + window - 1]
+                    if nxt < lo:
+                        lo = nxt
+                out.add(lo)
+            return sorted(out)
+
+        return texts.map(fps)
+
+    _winnow = F.pandas_udf(_winnow_batch, ArrayType(LongType()))
+
+    return (
+        docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fps"))
+        .select("id", F.explode("fps").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting_size: int | None = None,
+    drop_observation: Observation | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints: ``(id_a, id_b,
+    n_shared)`` for pairs sharing ≥ ``min_shared`` fingerprints. The join is
+    quadratic only within one fingerprint's posting list; ``max_posting_size``
+    (opt-in) drops boilerplate fingerprints shared by more than the cap,
+    observed via ``drop_observation`` — dropping can only UNDER-count
+    ``n_shared``, the same conservative trade as the n-gram posting cap."""
+    posting = winnow_fingerprints(docs, id_col, text_col, k, window)
+    if max_posting_size is not None:
+        pairs = _capped_pairs(posting, ["fp"], max_posting_size, drop_observation)
+    else:
+        pairs = (
+            posting.alias("a")
+            .join(
+                posting.alias("b"),
+                (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -1012,6 +1012,56 @@ WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
   / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.6"""
 
 
+def q_winnow_neardup(spark, sf_dir):
+    """Near-dup pairs by shared MOSS-winnowed rolling-hash fingerprints
+    (k=8 chars, window=4) — documents sharing ≥40 selected fingerprints.
+    The posting explode → 64-bit-key self-join is the same one-shuffle
+    inverted-index shape as ``ngram_jaccard``; the fingerprint itself is a
+    true O(n) rolling recurrence in an Arrow-batched UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.winnow_pairs(docs, k=8, window=4, min_shared=40)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def _winnow_sql(k: int = 8, window: int = 4, min_shared: int = 40) -> str:
+    """DuckDB oracle for winnowing: O(n·k) per-position polynomial hashes
+    (HUGEINT intermediates — products exceed int64) reproduce the UDF's
+    rolling recurrence exactly, then a ROWS-window min + distinct selects
+    the same fingerprint set."""
+    mod = 2305843009213693951  # 2^61 - 1, matches dedup._WINNOW_MOD
+    base = 257
+    terms = " + ".join(
+        f"unicode(substr(t, i+{j}, 1))::HUGEINT * {pow(base, k - 1 - j)}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - {k} + 2)) AS i
+  FROM norm WHERE length(t) >= {k}
+), hashes AS (
+  SELECT doc_id, i, (({terms}) % {mod}::HUGEINT)::BIGINT AS h FROM pos
+), wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_hashes
+  FROM hashes
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n_hashes - {window} + 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+SQL_WINNOW_NEARDUP = _winnow_sql()
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 5 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1446,6 +1496,7 @@ _ORACLES = {
     "quality_scores": SQL_QUALITY,
     "lang_detect": SQL_LANG_DETECT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "winnow_neardup": SQL_WINNOW_NEARDUP,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "fb_keyword_counts": SQL_FB_KEYWORD_COUNTS,
@@ -1494,6 +1545,7 @@ _QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_detect": q_lang_detect,
     "ngram_jaccard": q_ngram_jaccard,
+    "winnow_neardup": q_winnow_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embed_neardup": q_embed_neardup,
     "fb_keyword_counts": q_fb_keyword_counts,

@@ -214,3 +214,76 @@ def test_cap_drop_counts_observed(spark):
         small, threshold=0.1, max_posting_size=100, drop_observation=obs4
     ).count()
     assert obs4.get["rows_dropped"] == 0
+
+
+def _winnow_naive(text, k=8, window=4):
+    """O(n·k·w) reference: per-position polynomial hash + per-window min —
+    the DuckDB oracle's shape, independent of the operator's rolling
+    recurrence and sliding-min bookkeeping."""
+    import re
+
+    M, B = (1 << 61) - 1, 257
+    t = re.sub(r"\s+", " ", text.strip()).lower()
+    if len(t) < k:
+        return set()
+    hashes = [
+        sum(ord(t[i + j]) * pow(B, k - 1 - j, M) for j in range(k)) % M
+        for i in range(len(t) - k + 1)
+    ]
+    return {
+        min(hashes[i : i + window])
+        for i in range(len(hashes) - window + 1)
+    }
+
+
+def test_winnow_fingerprints_match_naive(spark):
+    """The Arrow UDF's O(n) rolling hash + incremental sliding min must equal
+    the quadratic per-position recomputation on adversarial shapes: repeats
+    (min stays in window), strictly decreasing codes (min always the new
+    element), short docs, and unicode."""
+    texts = [
+        (0, "aaaaaaaaaaaaaaaaaaaa"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "zyxwvutsrqponmlkjihgfedcba"),
+        (3, "short"),
+        (4, "  Mixed   CASE\twith\nwhitespace   runs  "),
+        (5, "héllo wörld ünicode text here"),
+        (6, "ab" * 40),
+    ]
+    got = dedup.winnow_fingerprints(_docs(spark, texts)).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    for doc_id, text in texts:
+        assert by_id.get(doc_id, set()) == _winnow_naive(text), doc_id
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """Winnowing's coverage guarantee: a shared substring of length
+    ≥ k + window − 1 MUST contribute ≥ 1 shared fingerprint, however the
+    surrounding text differs. Disjoint docs must share nothing."""
+    run = "this exact forty char run is shared text"
+    rows = [
+        (1, "prefix alpha " + run + " suffix beta"),
+        (2, "completely different start " + run + " other ending"),
+        (3, "no overlap with anything else zqjkvwx mnbpyt"),
+    ]
+    pairs = dedup.winnow_pairs(_docs(spark, rows), min_shared=1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_pairs_posting_cap_undercounts_only(spark):
+    """With a posting cap, every surviving pair's n_shared must be ≤ its
+    uncapped value and no new pairs may appear (drop = conservative)."""
+    rows = [(i, "common shared boilerplate run " + f"unique{i} " * 3)
+            for i in range(12)]
+    df = _docs(spark, rows)
+    full = {(r["id_a"], r["id_b"]): r["n_shared"]
+            for r in dedup.winnow_pairs(df, min_shared=1).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in dedup.winnow_pairs(
+                  df, min_shared=1, max_posting_size=6).collect()}
+    assert set(capped) <= set(full)
+    assert all(capped[p] <= full[p] for p in capped)
