@@ -1062,6 +1062,40 @@ GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 SQL_WINNOW_NEARDUP = _winnow_sql()
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive closure of the winnowing near-dup pairs: each document in
+    any pair gets its connected-component label (min doc_id in the
+    component) — the pairs→clusters step a dedup pipeline runs before
+    choosing survivors. Iterative hash-min label propagation with per-round
+    lineage truncation (operators/components.py)."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.winnow_pairs(docs, k=8, window=4, min_shared=40)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""WITH RECURSIVE pairs AS (
+{SQL_WINNOW_NEARDUP}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u FROM edges
+), walk(a, b) AS (
+  -- reachability closure: b reachable from a (recursive UNION dedups states)
+  SELECT u, u FROM nodes
+  UNION
+  SELECT w.a, e.v FROM walk w JOIN edges e ON e.u = w.b
+)
+SELECT a AS doc_id, min(b) AS component FROM walk GROUP BY a"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 5 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1497,6 +1531,7 @@ _ORACLES = {
     "lang_detect": SQL_LANG_DETECT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_neardup": SQL_WINNOW_NEARDUP,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "fb_keyword_counts": SQL_FB_KEYWORD_COUNTS,
@@ -1546,6 +1581,7 @@ _QUERIES = {
     "lang_detect": q_lang_detect,
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_neardup": q_winnow_neardup,
+    "dedup_components": q_dedup_components,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embed_neardup": q_embed_neardup,
     "fb_keyword_counts": q_fb_keyword_counts,
