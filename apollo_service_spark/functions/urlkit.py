@@ -297,7 +297,11 @@ def is_ignored_fused(url: Column, extra_patterns: list | None = None) -> Column:
     import re as _re
 
     terms = [_re.escape(s) for s in _IGNORE_SUBSTRINGS]
-    terms += [_re.escape(s) + "$" for s in _IGNORE_EXT_SUFFIXES]
+    # \z = absolute end of input: Java-regex `$` would also match just
+    # before a trailing line terminator, diverging from endswith() for a
+    # url ending in '\n' (unreachable post-canonicalize, but the two
+    # functions are asserted exactly equivalent)
+    terms += [_re.escape(s) + "\\z" for s in _IGNORE_EXT_SUFFIXES]
     if extra_patterns:
         terms += [f"(?:{p})" for p in extra_patterns]
     return url.rlike(_CI + "(?:" + "|".join(terms) + ")")

@@ -588,6 +588,10 @@ def winnow_fingerprints(
             for i in range(k, n):
                 h = ((h - codes[i - k] * top) * base + codes[i]) % mod
                 hashes.append(h)
+            if len(hashes) < window:
+                # winnowing selects from FULL windows only: a doc with fewer
+                # than `window` k-grams has none (matches the SQL oracle)
+                return []
             out = set()
             lo = min(hashes[:window])
             out.add(lo)

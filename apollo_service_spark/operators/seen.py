@@ -201,8 +201,43 @@ class _SegmentCache:
             self.total -= freed
 
 
+class _BloomCache:
+    """Worker-local bloom-bitmap LRU, keyed by blob path (epoch-versioned
+    names are immutable, so entries can never be stale). Two bounds: old
+    epochs of the SAME pid are evicted eagerly when a newer epoch loads, and
+    a total byte budget evicts LRU across pids — a reused Python worker that
+    Spark hands different pid groups each superstep would otherwise
+    accumulate one full bitmap per pid it ever touched (at the module's
+    10^10-url sizing, the whole multi-GB store per worker)."""
+
+    def __init__(self, max_bytes: int = 512 * 1024 * 1024):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self.entries = OrderedDict()  # path -> bitmap
+        self.total = 0
+
+    def get(self, path: str) -> np.ndarray:
+        bm = self.entries.get(path)
+        if bm is not None:
+            self.entries.move_to_end(path)
+            return bm
+        bm = np.fromfile(path, dtype=np.uint8)
+        stem = path.rsplit("-epoch=", 1)[0]
+        for old in [
+            p for p in self.entries if p.rsplit("-epoch=", 1)[0] == stem
+        ]:
+            self.total -= self.entries.pop(old).nbytes
+        self.entries[path] = bm
+        self.total += bm.nbytes
+        while self.total > self.max_bytes and len(self.entries) > 1:
+            _, dropped = self.entries.popitem(last=False)
+            self.total -= dropped.nbytes
+        return bm
+
+
 _SEGMENTS = _SegmentCache()
-_BLOOMS: dict = {}  # blob path -> bitmap (epoch in the name ⇒ immutable)
+_BLOOMS = _BloomCache()
 
 
 def _load_pid_segments(pid_dir: str, cache: _SegmentCache):
@@ -228,19 +263,9 @@ def _load_pid_segments(pid_dir: str, cache: _SegmentCache):
 
 
 def _cached_bitmap(path: str) -> np.ndarray:
-    """Bloom bitmap by blob path; epoch-versioned names make paths immutable
-    so the cache never serves a stale bitmap. Old-epoch entries are evicted
-    lazily (bounded: one live epoch per pid at a time)."""
-    bm = _BLOOMS.get(path)
-    if bm is None:
-        bm = np.fromfile(path, dtype=np.uint8)
-        stem = path.rsplit("-epoch=", 1)[0]
-        for old in [
-            p for p in _BLOOMS if p.rsplit("-epoch=", 1)[0] == stem
-        ]:
-            del _BLOOMS[old]
-        _BLOOMS[path] = bm
-    return bm
+    """Bloom bitmap by blob path via the worker-local LRU (see
+    :class:`_BloomCache` for the two eviction bounds)."""
+    return _BLOOMS.get(path)
 
 
 class PartitionedBloomSeenStore:
@@ -364,9 +389,14 @@ class PartitionedBloomSeenStore:
             tmp = path + f".tmp-{uuid.uuid4().hex}"
             bloom.bitmap.tofile(tmp)
             os.replace(tmp, path)
+            # GC uses the same (epoch, path) total order readers select by:
+            # strictly-lower tuples are losers — older epochs AND same-epoch
+            # siblings left by retried/speculative attempts (which would
+            # otherwise orphan one full-size bitmap per retry, since a plain
+            # `epoch <` check never matches them at the final epoch)
             for old in glob.glob(os.path.join(root, f"pid={pid:05d}-epoch=*.bin")):
                 m = _BLOB_RE.search(old)
-                if m and int(m.group(2)) < epoch:
+                if m and (int(m.group(2)), old) < (epoch, path):
                     with contextlib.suppress(FileNotFoundError):
                         os.remove(old)
             return pa.table(

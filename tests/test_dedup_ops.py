@@ -249,6 +249,11 @@ def test_winnow_fingerprints_match_naive(spark):
         (4, "  Mixed   CASE\twith\nwhitespace   runs  "),
         (5, "héllo wörld ünicode text here"),
         (6, "ab" * 40),
+        # fewer k-grams than the window (normalized length k..k+window-2):
+        # winnowing has NO full window, so no fingerprints — the UDF used to
+        # emit one here while the oracle emitted none (r4 review finding)
+        (7, "abcdefgh"),
+        (8, "abcdefghij"),
     ]
     got = dedup.winnow_fingerprints(_docs(spark, texts)).collect()
     by_id = {}
