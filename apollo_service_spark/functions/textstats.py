@@ -159,8 +159,37 @@ def keyword_match_counts(df, text_col: Column, keywords: list):
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>) for Jaccard/MinHash dedup."""
-    toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+def _ngram_join(toks: Column, n: int) -> Column:
+    """Word n-grams over a token array, space-joined, JVM-side only.
+
+    Guarded for short inputs: ``sequence(1, size-(n-1))`` with fewer than n
+    tokens would produce a DESCENDING sequence ending at a 0 index (Spark
+    sequences run backwards when start > stop) and ``slice(toks, 0, n)``
+    raises INVALID_PARAMETER_VALUE at runtime — so short docs get an empty
+    array instead of an error."""
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) for Jaccard/MinHash dedup.
+    Empty for docs with fewer than n words (not an error)."""
+    return _ngram_join(tokens(F.lower(text)), n)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Case-preserving word n-grams (array<string>) for repetition stats."""
+    return _ngram_join(tokens(text), n)
+
+
+def word_char_count(text: Column) -> Column:
+    """Total characters across whitespace tokens (spaces excluded) — the
+    denominator for Gopher-style repetition fractions."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.length(w).cast("bigint"),
+    )

@@ -983,6 +983,181 @@ SELECT CASE WHEN best = 0 THEN 'und'
     FROM documents))) GROUP BY detected"""
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021, public): per doc the
+    character fraction of the MOST FREQUENT word 2-gram (argmax by count,
+    ties to the lexicographically smallest gram) and the character mass of
+    duplicated word 3-grams (occurrences beyond the first), both over total
+    word characters; plus the keep flag at the published-style thresholds
+    (top-2-gram <= 0.20, dup-3-gram <= 0.30, applied to the rounded values
+    so the oracle comparison is exact).
+
+    Plan shape: one scan, one explode of the (tagged) 2-/3-gram arrays built
+    JVM-side, one partial-aggregable shuffle on (doc_id, n, gram), one
+    reduce to doc_id — no Python, no window. Scales: keys are (doc, gram)
+    pairs, the worst skew is one pathological doc and that doc's grams
+    still spread across reducers at the first shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        textstats.word_char_count(F.col("text")).alias("wchars"),
+        textstats.word_ngrams(F.col("text"), 2).alias("bi"),
+        textstats.word_ngrams(F.col("text"), 3).alias("tri"),
+    )
+    tagged = base.select(
+        "doc_id",
+        "wchars",
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    "bi", lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))
+                ),
+                F.transform(
+                    "tri", lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "wchars", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = tagged.groupBy("doc_id", "wchars", "n", "g").agg(
+        F.count("*").alias("cnt")
+    )
+    # min(struct(-cnt, g)) = highest count, then smallest gram — a total
+    # order, so the argmax is deterministic across partitionings
+    per_doc = counts.groupBy("doc_id", "wchars").agg(
+        F.min(
+            F.when(
+                F.col("n") == 2,
+                F.struct((-F.col("cnt")).alias("negcnt"), F.col("g").alias("g")),
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(
+                (F.col("n") == 3) & (F.col("cnt") > 1),
+                (F.col("cnt") - 1) * (F.length("g") - 2),
+            ).otherwise(F.lit(0))
+        ).alias("dupchars"),
+    )
+    top_frac = F.round(
+        F.coalesce(
+            (-F.col("top.negcnt"))
+            * (F.length(F.col("top.g")) - 1)
+            / F.nullif(F.col("wchars"), F.lit(0)),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    dup_frac = F.round(
+        F.coalesce(
+            F.col("dupchars") / F.nullif(F.col("wchars"), F.lit(0)), F.lit(0.0)
+        ),
+        4,
+    )
+    return per_doc.select(
+        "doc_id",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        ((top_frac <= 0.20) & (dup_frac <= 0.30)).alias("keep"),
+    )
+
+
+SQL_REPETITION_STATS = """WITH base AS (
+  SELECT doc_id,
+    COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS wchars,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS bi,
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS tri
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents)
+), counts AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, 2 AS n, unnest(bi) AS g FROM base
+    UNION ALL
+    SELECT doc_id, 3 AS n, unnest(tri) AS g FROM base
+  ) GROUP BY doc_id, n, g
+), top AS (
+  SELECT doc_id, cnt, g FROM (
+    SELECT doc_id, cnt, g,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS r
+    FROM counts WHERE n = 2) WHERE r = 1
+), dup AS (
+  SELECT doc_id, SUM((cnt - 1) * (length(g) - 2)) AS dupchars
+  FROM counts WHERE n = 3 AND cnt > 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+  ROUND(COALESCE(t.cnt * (length(t.g) - 1) / (NULLIF(b.wchars, 0) * 1.0), 0.0), 4) AS top_bigram_frac,
+  ROUND(COALESCE(d.dupchars / (NULLIF(b.wchars, 0) * 1.0), 0.0), 4) AS dup_trigram_frac,
+  (ROUND(COALESCE(t.cnt * (length(t.g) - 1) / (NULLIF(b.wchars, 0) * 1.0), 0.0), 4) <= 0.20
+   AND ROUND(COALESCE(d.dupchars / (NULLIF(b.wchars, 0) * 1.0), 0.0), 4) <= 0.30) AS keep
+FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-5 terms per language: corpus-wide document frequency,
+    per-language term frequency, score = tf * ln((N+1)/(df+1)), ranked by
+    the ROUNDED score (then term asc) so the ordering is identical across
+    engines regardless of last-ULP ln() differences.
+
+    Plan shape: one explode, two partial-aggregable shuffles (term tf by
+    (lang, term); df by term after a distinct on (doc_id, term)), a
+    broadcast of the 1-row corpus count, and a per-lang window over at most
+    |vocab| rows — the heavy lifting is all map-side-combinable counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        words.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rk")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """WITH words AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT lang, term, COUNT(*) AS tf FROM words GROUP BY lang, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term
+), total AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT lang, term, tf, df, score, rk FROM (
+  SELECT lang, term, tf, df, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS INT) AS rk
+  FROM (SELECT lang, term, tf, df,
+               ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+) WHERE rk <= 5"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup pairs on planted perturbed copies."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
@@ -1529,6 +1704,8 @@ _ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,
     "lang_detect": SQL_LANG_DETECT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_neardup": SQL_WINNOW_NEARDUP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
@@ -1579,6 +1756,8 @@ _QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "lang_detect": q_lang_detect,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_neardup": q_winnow_neardup,
     "dedup_components": q_dedup_components,

@@ -74,3 +74,56 @@ def test_sanitize_filename_spark_matches_python(spark):
     for n in names:
         assert got[n] == urlkit.sanitize_filename_py(n), n
     assert got['report<2024>:"final"'] == "report_2024___final_"
+
+
+def test_shingles_short_docs_empty_not_error(spark):
+    # regression: sequence(1, size-(n-1)) runs BACKWARDS for docs shorter
+    # than n words, and slice(toks, 0, n) raised INVALID_PARAMETER_VALUE —
+    # short docs must yield an empty shingle array instead
+    df = spark.createDataFrame(
+        [("one two",), ("single",), ("",), ("a b c",)], "text string"
+    )
+    rows = df.select(textstats.shingles(F.col("text"), 3).alias("s")).collect()
+    assert [r["s"] for r in rows] == [[], [], [], ["a b c"]]
+
+
+def test_word_ngrams_and_char_count(spark):
+    df = spark.createDataFrame([("the cat the cat sat",)], "text string")
+    row = df.select(
+        textstats.word_ngrams(F.col("text"), 2).alias("bi"),
+        textstats.word_char_count(F.col("text")).alias("wc"),
+    ).collect()[0]
+    assert row["bi"] == ["the cat", "cat the", "the cat", "cat sat"]
+    assert row["wc"] == len("thecatthecatsat")
+
+
+def test_repetition_stats_hand_computed(spark, tmp_path):
+    # doc 1: "aa bb aa bb aa bb" — top bigram "aa bb" occurs 3x of 5 bigrams;
+    # chars in it = 3 * 4 = 12 over 12 word chars -> 1.0; trigrams
+    # "aa bb aa" x2, "bb aa bb" x2 -> dup chars = (2-1)*6 + (2-1)*6 = 12 -> 1.0
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["aa bb aa bb aa bb", "x y z"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [17, 5],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from apollo_service_spark.plans.queries import q_repetition_stats
+
+    got = {
+        r["doc_id"]: r
+        for r in q_repetition_stats(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["dup_trigram_frac"] == 1.0
+    assert got[1]["keep"] is False
+    # doc 2: each bigram unique -> top "x y" 1x, chars 2/3; no dup trigrams
+    assert got[2]["top_bigram_frac"] == round(2 / 3, 4)
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["keep"] is False  # top bigram frac > 0.2
