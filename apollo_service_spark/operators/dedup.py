@@ -650,3 +650,66 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def duplicated_line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 3,
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """CCNet-style duplicated-line filter (Wenzek et al. 2019, public):
+    split each document into fixed-width word "lines", count how many
+    DISTINCT documents each line occurs in corpus-wide, and report per doc
+    the fraction of its characters living in lines that also appear in at
+    least one other document.  ``keep`` applies ``max_dup_frac`` to the
+    rounded fraction (boilerplate-heavy docs are dropped).
+
+    Columns: ``(id, n_lines, n_dup_lines, dup_line_char_frac, keep)``.
+
+    Plan shape (the inverted-index shape, same as ``ngram_jaccard_pairs``):
+    one scan + explode, then the per-line distinct-doc count and the join
+    back both shuffle on ``xxhash64(line)`` — an 8-byte key, never the line
+    string — and one final map-side-combinable reduce to the doc id.  Skew
+    is bounded: the hottest key is the single most common boilerplate line,
+    and its count aggregates partially map-side.  64-bit hash collisions can
+    in principle merge two distinct lines (~n²/2⁶⁵); at that false-dup rate
+    the fraction shifts by one line in ~10¹⁰ — accepted, documented, and
+    deterministic.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_lines = F.floor((F.size(w) + words_per_line - 1) / words_per_line)
+    lines = F.when(F.size(w) > 0, F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(w, i * words_per_line + 1, words_per_line), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(lines).alias("line")
+    ).select("id", F.xxhash64("line").alias("h"), F.length("line").alias("lchars"))
+    ndocs = ex.groupBy("h").agg(F.count_distinct("id").alias("nd"))
+    per_doc = (
+        ex.join(ndocs, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_lines"),
+            F.sum(F.when(F.col("nd") > 1, F.col("lchars")).otherwise(F.lit(0))).alias("dupchars"),
+            F.sum("lchars").alias("allchars"),
+        )
+    )
+    frac = F.round(
+        F.coalesce(
+            F.col("dupchars") / F.nullif(F.col("allchars"), F.lit(0)), F.lit(0.0)
+        ),
+        4,
+    )
+    return per_doc.select(
+        "id",
+        "n_lines",
+        "n_dup_lines",
+        frac.alias("dup_line_char_frac"),
+        (frac <= max_dup_frac).alias("keep"),
+    )

@@ -25,7 +25,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import textstats, urlkit
+from ..functions import pii, textstats, urlkit
 from ..operators import dedup, similarity
 from ..operators.clustering import cluster_urls
 from ..sources.tables import load_table
@@ -1673,6 +1673,92 @@ CAST(60 AS BIGINT) AS n_identical"""
 # Registry
 # --------------------------------------------------------------------------
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (LLM-pipeline brief): detect + redact emails / phone
+    numbers / IPv4 addresses.  The synthetic corpus contains no PII, so a
+    deterministic specimen of each type is appended per doc from ``doc_id``
+    (the same arithmetic in the SQL oracle), and the gate then verifies the
+    redacted text BYTE-IDENTICALLY — an exact cross-engine check of the
+    regex semantics, not just the counts.
+
+    Plan: one scan, zero shuffles, all regexes in one codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 250).cast("string"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        pii.count_emails(F.col("text")).cast("long").alias("n_emails"),
+        pii.count_phones(F.col("text")).cast("long").alias("n_phones"),
+        pii.count_ipv4(F.col("text")).cast("long").alias("n_ips"),
+        pii.redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+SQL_PII_REDACT = """WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call +1-555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '@IP@')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '@EMAIL@', '<EMAIL>', 'g'), '@PHONE@', '<PHONE>', 'g'), '@IP@', '<IP>', 'g') AS redacted
+FROM injected""".replace("@EMAIL@", pii.EMAIL_PATTERN).replace(
+    "@PHONE@", pii.PHONE_PATTERN
+).replace("@IP@", pii.IPV4_PATTERN)
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style duplicated-line filter over the documents table:
+    per-doc fraction of characters in word-lines shared with ≥1 other doc
+    (see ``dedup.duplicated_line_stats`` for the shuffle-shape analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_line_stats(
+        docs, words_per_line=3, max_dup_frac=0.3
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_LINE_DEDUP = """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), lines AS (
+  SELECT doc_id, array_to_string(w[i*3+1 : i*3+3], ' ') AS line
+  FROM words, unnest(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+  WHERE len(w) > 0
+), nd AS (
+  SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line
+), per_doc AS (
+  SELECT l.doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+    ROUND(COALESCE(sum(CASE WHEN nd.ndocs > 1 THEN length(l.line) ELSE 0 END)
+          / (NULLIF(sum(length(l.line)), 0) * 1.0), 0.0), 4) AS dup_line_char_frac
+  FROM lines l JOIN nd USING (line) GROUP BY l.doc_id
+)
+SELECT doc_id, n_lines, n_dup_lines, dup_line_char_frac,
+       dup_line_char_frac <= 0.3 AS keep
+FROM per_doc"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -1723,6 +1809,8 @@ _ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "redirect_404_filter": SQL_REDIRECT_404,
     "cluster_greedy": SQL_CLUSTER_GREEDY,
+    "pii_redact": SQL_PII_REDACT,
+    "line_dedup": SQL_LINE_DEDUP,
 }
 
 _QUERIES = {
@@ -1780,6 +1868,8 @@ _QUERIES = {
     # the driver's oracle gate covers them too
     "cluster_greedy": q_cluster_greedy,
     "crawl_frontier": q_crawl_frontier,
+    "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
 }
 
 

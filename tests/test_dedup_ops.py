@@ -292,3 +292,36 @@ def test_winnow_pairs_posting_cap_undercounts_only(spark):
                   df, min_shared=1, max_posting_size=6).collect()}
     assert set(capped) <= set(full)
     assert all(capped[p] <= full[p] for p in capped)
+
+
+def test_duplicated_line_stats_hand_case(spark):
+    """Hand-computed CCNet-style line dedup: 2-word lines over three docs.
+
+    doc 1: "a b c d"      -> lines ["a b", "c d"]
+    doc 2: "a b x y"      -> lines ["a b", "x y"]
+    doc 3: "z z z"        -> lines ["z z", "z"]
+    "a b" appears in docs {1,2} -> duplicated; everything else is unique.
+    """
+    df = _docs(spark, [(1, "a b c d"), (2, "a b x y"), (3, "z z z")])
+    out = {
+        r["id"]: r
+        for r in dedup.duplicated_line_stats(df, words_per_line=2).collect()
+    }
+    assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 1
+    # "a b" = 3 chars of 6 total line chars
+    assert out[1]["dup_line_char_frac"] == 0.5
+    assert out[2]["n_lines"] == 2 and out[2]["n_dup_lines"] == 1
+    assert out[3]["n_lines"] == 2 and out[3]["n_dup_lines"] == 0
+    assert out[3]["dup_line_char_frac"] == 0.0
+    assert not out[1]["keep"] and out[3]["keep"]  # 0.5 > 0.3 threshold
+
+
+def test_duplicated_line_stats_within_doc_repeat_not_dup(spark):
+    """A line repeated WITHIN one doc only is not 'duplicated' (the
+    distinct-doc count drives the flag), and empty/whitespace docs drop
+    out instead of erroring on the sequence() edge."""
+    df = _docs(spark, [(1, "p q p q"), (2, ""), (3, "   ")])
+    rows = dedup.duplicated_line_stats(df, words_per_line=2).collect()
+    out = {r["id"]: r for r in rows}
+    assert set(out) == {1}
+    assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 0
