@@ -668,12 +668,16 @@ def duplicated_line_stats(
 
     Columns: ``(id, n_lines, n_dup_lines, dup_line_char_frac, keep)``.
 
-    Plan shape (the inverted-index shape, same as ``ngram_jaccard_pairs``):
-    one scan + explode, then the per-line distinct-doc count and the join
-    back both shuffle on ``xxhash64(line)`` — an 8-byte key, never the line
-    string — and one final map-side-combinable reduce to the doc id.  Skew
+    Plan shape (the inverted-index shape, same as ``ngram_jaccard_pairs``,
+    but every shuffle carries PRE-COMBINED rows): one scan + explode, then a
+    map-side-combinable reduce to ``(xxhash64(line), doc)`` — within-doc
+    repeats of a line collapse to one row with an occurrence count BEFORE
+    any data moves — so the distinct-doc count per line is a plain
+    ``count(*)`` (no count_distinct expand), and the join back + final
+    reduce to the doc id move one row per (line, doc), never one per
+    occurrence.  Keys are 8 bytes (the hash), never the line string.  Skew
     is bounded: the hottest key is the single most common boilerplate line,
-    and its count aggregates partially map-side.  64-bit hash collisions can
+    already one row per document holding it.  64-bit hash collisions can
     in principle merge two distinct lines (~n²/2⁶⁵); at that false-dup rate
     the fraction shifts by one line in ~10¹⁰ — accepted, documented, and
     deterministic.
@@ -689,15 +693,18 @@ def duplicated_line_stats(
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(lines).alias("line")
     ).select("id", F.xxhash64("line").alias("h"), F.length("line").alias("lchars"))
-    ndocs = ex.groupBy("h").agg(F.count_distinct("id").alias("nd"))
+    per_line_doc = ex.groupBy("h", "id").agg(
+        F.count(F.lit(1)).alias("occ"), F.sum("lchars").alias("chars")
+    )
+    ndocs = per_line_doc.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     per_doc = (
-        ex.join(ndocs, "h")
+        per_line_doc.join(ndocs, "h")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_lines"),
-            F.sum(F.when(F.col("nd") > 1, F.col("lchars")).otherwise(F.lit(0))).alias("dupchars"),
-            F.sum("lchars").alias("allchars"),
+            F.sum("occ").alias("n_lines"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0))).alias("n_dup_lines"),
+            F.sum(F.when(F.col("nd") > 1, F.col("chars")).otherwise(F.lit(0))).alias("dupchars"),
+            F.sum("chars").alias("allchars"),
         )
     )
     frac = F.round(
