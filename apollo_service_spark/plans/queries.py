@@ -25,7 +25,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import pii, textstats, urlkit
+from ..functions import pii, sampling, textstats, urlkit
 from ..operators import dedup, similarity
 from ..operators.clustering import cluster_urls
 from ..sources.tables import load_table
@@ -1759,6 +1759,33 @@ SELECT doc_id, n_lines, n_dup_lines, dup_line_char_frac,
 FROM per_doc"""
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by content hash
+    (``functions/sampling.py``): partition-independent and reproducible at
+    any cluster size, which ``df.sample()`` is not.  Pure per-row column
+    expression — one scan, zero shuffles; the oracle runs the identical
+    md5-prefix arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        sampling.hash_bucket("doc_id", salt="r4").alias("bucket"),
+        sampling.split_label(
+            "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="r4"
+        ).alias("split"),
+    )
+
+
+SQL_HASH_SPLIT = """WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 6)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 9000 THEN 'train'
+       WHEN bucket < 9500 THEN 'valid'
+       ELSE 'test' END AS split
+FROM b"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -1811,6 +1838,7 @@ _ORACLES = {
     "cluster_greedy": SQL_CLUSTER_GREEDY,
     "pii_redact": SQL_PII_REDACT,
     "line_dedup": SQL_LINE_DEDUP,
+    "hash_split": SQL_HASH_SPLIT,
 }
 
 _QUERIES = {
@@ -1870,6 +1898,7 @@ _QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
+    "hash_split": q_hash_split,
 }
 
 
