@@ -43,6 +43,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "minhash_pairs",
     "cluster_greedy",
+    # added r4: PII scrub, CCNet line dedup, deterministic splits
+    "pii_redact",
+    "line_dedup",
+    "hash_split",
 ]
 
 
