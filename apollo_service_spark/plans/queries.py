@@ -1786,6 +1786,88 @@ SELECT doc_id, bucket,
 FROM b"""
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The capstone composition: one per-doc KEEP decision from the whole
+    training-data filter stack — language-ID, quality band, Gopher
+    repetition stats, CCNet duplicated-line fraction — plus the PII count
+    (informational: PII is redacted, not dropped).  This is the query a
+    100 TB corpus-cleaning job actually runs; every stage is the same
+    operator the standalone gate queries verify, composed.
+
+    Plan: the per-doc scalars (lang, quality, pii) ride ONE scan with zero
+    shuffles; repetition adds its two map-side-combinable reduces; the
+    line-dedup branch is the only corpus-global state; the three branches
+    re-join on the doc id.  Nothing Python, nothing collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        textstats.detect_lang(F.col("text")).alias("lang"),
+        F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
+        (
+            pii.count_emails(F.col("text"))
+            + pii.count_phones(F.col("text"))
+            + pii.count_ipv4(F.col("text"))
+        ).cast("long").alias("n_pii"),
+    )
+    rep = q_repetition_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    lines = q_line_dedup(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_lines")
+    )
+    out = (
+        base.join(rep, "doc_id").join(lines, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_pii",
+            (F.col("quality") >= 0.6667).alias("keep_quality"),
+            "keep_repetition",
+            "keep_lines",
+            (
+                (F.col("lang") != "und")
+                & (F.col("quality") >= 0.6667)
+                & F.col("keep_repetition")
+                & F.col("keep_lines")
+            ).alias("keep"),
+        )
+    )
+    return out
+
+
+def _sql_corpus_clean() -> str:
+    lang_per_doc = f"""SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+            WHEN en = best THEN 'en'
+            WHEN de = best THEN 'de'
+            ELSE 'es' END AS lang FROM (
+  SELECT doc_id, en, de, es, greatest(en, de, es) AS best FROM (
+    SELECT doc_id,
+           {_lang_hits_sql(['the','and','of','to','a','in','is','it','that','for'])} AS en,
+           {_lang_hits_sql(['der','die','das','und','ist','ein','nicht','mit','sich','auf'])} AS de,
+           {_lang_hits_sql(['el','la','de','que','y','en','un','es','se','no'])} AS es
+    FROM documents))"""
+    pii_per_doc = """SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '@EMAIL@'))
+     + len(regexp_extract_all(text, '@PHONE@'))
+     + len(regexp_extract_all(text, '@IP@')) AS BIGINT) AS n_pii
+FROM documents""".replace("@EMAIL@", pii.EMAIL_PATTERN).replace(
+        "@PHONE@", pii.PHONE_PATTERN
+    ).replace("@IP@", pii.IPV4_PATTERN)
+    return f"""WITH q AS ({SQL_QUALITY}),
+r AS ({SQL_REPETITION_STATS}),
+l AS ({SQL_LINE_DEDUP}),
+lg AS ({lang_per_doc}),
+p AS ({pii_per_doc})
+SELECT q.doc_id, lg.lang, q.quality, p.n_pii,
+  q.quality >= 0.6667 AS keep_quality,
+  r.keep AS keep_repetition,
+  l.keep AS keep_lines,
+  (lg.lang <> 'und' AND q.quality >= 0.6667 AND r.keep AND l.keep) AS keep
+FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+       JOIN lg USING (doc_id) JOIN p USING (doc_id)"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -1839,6 +1921,7 @@ _ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "line_dedup": SQL_LINE_DEDUP,
     "hash_split": SQL_HASH_SPLIT,
+    "corpus_clean": _sql_corpus_clean(),
 }
 
 _QUERIES = {
@@ -1899,6 +1982,7 @@ _QUERIES = {
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
     "hash_split": q_hash_split,
+    "corpus_clean": q_corpus_clean,
 }
 
 

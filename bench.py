@@ -43,10 +43,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "minhash_pairs",
     "cluster_greedy",
-    # added r4: PII scrub, CCNet line dedup, deterministic splits
+    # added r4: PII scrub, CCNet line dedup, deterministic splits, and the
+    # capstone corpus-cleaning composition (lang+quality+repetition+lines)
     "pii_redact",
     "line_dedup",
     "hash_split",
+    "corpus_clean",
 ]
 
 
