@@ -1868,6 +1868,60 @@ FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
        JOIN lg USING (doc_id) JOIN p USING (doc_id)"""
 
 
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (5 rounds, d=0.85) over a deterministic synthetic
+    link graph on the documents table: doc i links to ``(i*7+j) % N`` for
+    ``j in 1..(i%3+1)`` — every node has out-edges (no dangling mass), both
+    dialects generate the identical edge list.  The oracle unrolls the five
+    power-iteration rounds as CTEs; ranks are rounded to 6 decimals on both
+    sides (the iterative float sums differ only in association order, ~1e-16
+    relative — far below the rounding grain).  See ``operators/pagerank.py``
+    for the per-round shuffle shape."""
+    from ..operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))).alias("j"),
+    ).select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    ranks = pagerank(edges, nodes=nodes, damping=0.85, iterations=5)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_pagerank(n_iter: int = 5, d: float = 0.85) -> str:
+    prev = "r0"
+    rounds = []
+    for k in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT nd.id, ({1.0 - d:.2f} / nc.n) + {d} * COALESCE(s.mass, 0.0) AS r
+  FROM nodes nd CROSS JOIN ncount nc
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / e.out_deg) AS mass
+    FROM edges_deg e JOIN {prev} p ON p.id = e.src
+    GROUP BY e.dst) s USING (id)
+)"""
+        )
+        prev = f"r{k}"
+    joined_rounds = ",\n".join(rounds)
+    return f"""WITH ncount AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + j) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src),
+edges_deg AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT nd.id, 1.0 / nc.n AS r FROM nodes nd CROSS JOIN ncount nc),
+{joined_rounds}
+SELECT id AS doc_id, ROUND(r, 6) AS rank FROM {prev}"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -1922,6 +1976,7 @@ _ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "hash_split": SQL_HASH_SPLIT,
     "corpus_clean": _sql_corpus_clean(),
+    "pagerank": _sql_pagerank(),
 }
 
 _QUERIES = {
@@ -1983,6 +2038,7 @@ _QUERIES = {
     "line_dedup": q_line_dedup,
     "hash_split": q_hash_split,
     "corpus_clean": q_corpus_clean,
+    "pagerank": q_pagerank,
 }
 
 

@@ -95,13 +95,12 @@ def bench_frontier_expansion(spark, n_frontier: int = 2_000_000, n_seen: int = 2
     The headline number is the bloom_store one: it is the 10^10-scale
     machinery the engine actually defaults to (VERDICT r2 "what's wrong" #2).
 
-    Each variant runs ``repeats`` times (default 5, after one untimed
-    warmup) on the same inputs and
-    the MEDIAN wall is reported — the per-superstep fixed cost (pid-group
-    Python worker spin-up + blob reads) swings 2× with hypervisor mood on
-    this host (VERDICT r3 "what's wrong" #1); a single sample is not a
-    number of record. The min/max spread is reported alongside so the
-    variance is visible, not laundered.
+    Each variant runs ``repeats`` times (default 5, after THREE untimed
+    warm passes — see the inline comment for the measured JIT warm-in
+    curve) on the same inputs and the MEDIAN wall is reported — a single
+    sample is not a number of record on this host. The min/max spread AND
+    the cold first-call wall are reported alongside so neither the
+    variance nor the warm-in cost is laundered.
     """
     import shutil
     import tempfile
