@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 # Patterns — common Java-regex / RE2 subset (see module docstring).
 # ---------------------------------------------------------------------------
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# +country? then 3-3/4-4 digit groups separated by '-' or ' '
-PHONE_PATTERN = r"\+?\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}"
+# optional +country group, then 3-3/4-4 digit groups separated by '-' or ' '
+# (the country group is genuinely optional: '555-012-3456' matches too)
+PHONE_PATTERN = r"(\+?\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}"
 IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
 
 EMAIL_TOKEN = "<EMAIL>"

@@ -29,9 +29,16 @@ def hash_bucket(key, n_buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column
     """Deterministic bucket in ``[0, n_buckets)`` from the row key.
 
     ``salt`` reshuffles the assignment without touching the key (use a new
-    salt per experiment so successive samples are independent)."""
+    salt per experiment so successive samples are independent).
+
+    NULL keys hash like any other value (via a ``<NULL>`` sentinel) instead
+    of propagating NULL through the comparison chain — otherwise every
+    NULL-keyed row would silently fall into a CASE's ``otherwise`` branch
+    (the last split label) while ``sample_fraction`` dropped the same rows.
+    A real key whose string form is exactly ``<NULL>`` collides with the
+    sentinel; accepted and documented."""
     col = key if isinstance(key, Column) else F.col(key)
-    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    h = F.md5(F.concat(F.coalesce(col.cast("string"), F.lit("<NULL>")), F.lit(salt)))
     return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_buckets
 
 
@@ -47,6 +54,12 @@ def split_label(
     the range order, so pass it in the order you want the ranges laid out.
     """
     weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split weights sum to {total} > 1; later labels would be "
+            "silently starved"
+        )
     bucket = hash_bucket(key, n_buckets, salt)
     expr = None
     cum = 0.0

@@ -55,6 +55,9 @@ def pagerank(
         )
     nodes = nodes.select("id").persist()
     n = nodes.count()  # one job up front; the scalar parameterizes the plan
+    if n == 0:
+        nodes.unpersist()
+        raise ValueError("pagerank over an empty graph (no nodes)")
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
     edges_deg = edges.join(deg, src).select(

@@ -1777,7 +1777,7 @@ def q_hash_split(spark, sf_dir):
 
 SQL_HASH_SPLIT = """WITH b AS (
   SELECT doc_id,
-    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 6)) AS BIGINT) % 10000 AS bucket
+    CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>') || 'r4'), 1, 6)) AS BIGINT) % 10000 AS bucket
   FROM documents)
 SELECT doc_id, bucket,
   CASE WHEN bucket < 9000 THEN 'train'
@@ -1815,8 +1815,12 @@ def q_corpus_clean(spark, sf_dir):
     lines = q_line_dedup(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_lines")
     )
+    # the line branch drops wordless docs (explode of an empty lines array) —
+    # join LEFT and default keep_lines to true so EVERY doc gets a verdict
+    # (an empty doc has no duplicated lines; quality/lang reject it instead)
+    keep_lines = F.coalesce(F.col("keep_lines"), F.lit(True))
     out = (
-        base.join(rep, "doc_id").join(lines, "doc_id")
+        base.join(rep, "doc_id").join(lines, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -1824,12 +1828,12 @@ def q_corpus_clean(spark, sf_dir):
             "n_pii",
             (F.col("quality") >= 0.6667).alias("keep_quality"),
             "keep_repetition",
-            "keep_lines",
+            keep_lines.alias("keep_lines"),
             (
                 (F.col("lang") != "und")
                 & (F.col("quality") >= 0.6667)
                 & F.col("keep_repetition")
-                & F.col("keep_lines")
+                & keep_lines
             ).alias("keep"),
         )
     )
@@ -1862,9 +1866,10 @@ p AS ({pii_per_doc})
 SELECT q.doc_id, lg.lang, q.quality, p.n_pii,
   q.quality >= 0.6667 AS keep_quality,
   r.keep AS keep_repetition,
-  l.keep AS keep_lines,
-  (lg.lang <> 'und' AND q.quality >= 0.6667 AND r.keep AND l.keep) AS keep
-FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+  COALESCE(l.keep, TRUE) AS keep_lines,
+  (lg.lang <> 'und' AND q.quality >= 0.6667 AND r.keep
+   AND COALESCE(l.keep, TRUE)) AS keep
+FROM q JOIN r USING (doc_id) LEFT JOIN l USING (doc_id)
        JOIN lg USING (doc_id) JOIN p USING (doc_id)"""
 
 
@@ -1898,7 +1903,7 @@ def _sql_pagerank(n_iter: int = 5, d: float = 0.85) -> str:
     for k in range(1, n_iter + 1):
         rounds.append(
             f"""r{k} AS (
-  SELECT nd.id, ({1.0 - d:.2f} / nc.n) + {d} * COALESCE(s.mass, 0.0) AS r
+  SELECT nd.id, ({(1.0 - d)!r} / nc.n) + {d!r} * COALESCE(s.mass, 0.0) AS r
   FROM nodes nd CROSS JOIN ncount nc
   LEFT JOIN (
     SELECT e.dst AS id, SUM(p.r / e.out_deg) AS mass

@@ -246,7 +246,7 @@ def main():
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    # heap hygiene before the frontier metric: the 17 headline queries leave
+    # heap hygiene before the frontier metric: the headline queries leave
     # cached frames and a fragmented old-gen behind; without this the
     # frontier runs absorb their full-GC pauses (measured r4: the identical
     # filter_new sequence ran 2.5-3.6 s standalone vs 5.4-14 s inside the

@@ -61,3 +61,11 @@ def test_patterns_identical_in_duckdb(spark):
     con.close()
     r = _one(spark, text)
     assert (r["e"], r["p"], r["i"], r["r"]) == duck
+
+
+def test_phone_without_country_code(spark):
+    """The country group is optional — local 3-group formats redact too
+    (review finding r4)."""
+    r = _one(spark, "call 555-012-3456 or +1-555-012-3456 today")
+    assert r["p"] == 2
+    assert r["r"] == "call <PHONE> or <PHONE> today"

@@ -67,3 +67,26 @@ def test_matches_duckdb_arithmetic(spark):
     )
     con.close()
     assert got == want
+
+
+def test_null_keys_hash_deterministically(spark):
+    """NULL keys bucket like any value instead of falling through CASE
+    chains into the last split label (review finding r4)."""
+    df = spark.createDataFrame([(None,), (1,), (2,)], "doc_id long")
+    rows = df.select(
+        "doc_id",
+        sampling.hash_bucket("doc_id").alias("b"),
+        sampling.split_label("doc_id").alias("s"),
+    ).collect()
+    by_key = {r["doc_id"]: r for r in rows}
+    assert by_key[None]["b"] is not None
+    # the sentinel '<NULL>' hashes into train at the default weights — the
+    # point is it gets a REAL assignment, not the fall-through label
+    assert by_key[None]["s"] in ("train", "valid", "test")
+
+
+def test_oversubscribed_weights_raise(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        sampling.split_label("doc_id", {"a": 0.9, "b": 0.2, "c": 0.1})
