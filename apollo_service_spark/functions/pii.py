@@ -30,6 +30,14 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # optional +country group, then 3-3/4-4 digit groups separated by '-' or ' '
 # (the country group is genuinely optional: '555-012-3456' matches too)
 PHONE_PATTERN = r"(\+?\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}"
+# KNOWN dialect edge (found by tests/test_pii.py's cross-engine fuzz): \b is
+# Unicode-aware in Java ('ü' is a word char, so '1.2.3.4ü' does NOT end at a
+# boundary) but ASCII-only in RE2 (it does).  RE2 has no lookarounds, so the
+# boundary cannot be written symmetrically — the byte-exact cross-engine
+# contract therefore covers matches whose neighbors are ASCII (all real IP
+# notation); a non-ASCII LETTER glued directly to the digits redacts under
+# the oracle but not the engine.  Pinned by
+# test_known_unicode_boundary_divergence so the limitation stays visible.
 IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
 
 EMAIL_TOKEN = "<EMAIL>"
