@@ -297,3 +297,28 @@ def test_dedup_reuses_groupby_partitioning(spark, documents, tmp_path):
         engine.pages.unpersist()
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
     assert len(exchanges) == 3, plan
+
+
+def test_pii_redact_single_stage_no_exchange(spark):
+    """The PII scrub must stay one scan + one codegen stage: any Exchange
+    or Python eval appearing here means the regex tier fell off the
+    JVM-side fast path."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # formatted mode marks codegen'd nodes with '*'
+    assert "* Project" in plan, plan
+
+
+def test_line_dedup_no_expand_and_bounded_exchanges(spark):
+    """line_dedup pre-combines per (line-hash, doc) BEFORE the distinct-doc
+    count, so the count_distinct Expand node must never reappear, and the
+    exchange count stays bounded (per-occurrence rows never shuffle)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["line_dedup"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    n_exchanges = plan.count("+- Exchange")
+    assert n_exchanges <= 5, f"{n_exchanges} exchanges\n{plan}"
