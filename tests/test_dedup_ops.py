@@ -325,3 +325,19 @@ def test_duplicated_line_stats_within_doc_repeat_not_dup(spark):
     out = {r["id"]: r for r in rows}
     assert set(out) == {1}
     assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 0
+
+
+def test_duplicated_line_stats_boilerplate_hot_key(spark):
+    """The navbar scenario: one identical line in EVERY doc (the hottest
+    possible key). Counts stay exact — the pre-combine means the hot hash
+    receives one row per doc, and the stats reflect the planted fractions."""
+    n = 2000
+    rows = [(i, f"nav home about unique{i} words here") for i in range(n)]
+    out = dedup.duplicated_line_stats(
+        _docs(spark, rows), words_per_line=3
+    ).collect()
+    assert len(out) == n
+    for r in out:
+        # line 1 = 'nav home about' (shared by all), line 2 = unique tail
+        assert r["n_lines"] == 2 and r["n_dup_lines"] == 1
+        assert not r["keep"]  # ~half the chars are boilerplate
