@@ -1,0 +1,100 @@
+"""Replicate the driver's correctness gate at sf0.01.
+
+Runs every __spark_entry__.queries() entry against its oracle_sql() on
+DuckDB, comparing row count, column names (sorted), and a value hash
+(rows sorted, floats rounded to 6dp). Prints one line per query and a
+summary; exit 1 on any mismatch.
+"""
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as em
+from apollo_service_spark.session import build_session
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if v is None:
+        return ""
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    queries = em.queries()
+    oracles = em.oracle_sql()
+    bad = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"{name}: rows-only ({len(srows)} rows, no oracle)")
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            sc, sr = _canon(scols, srows)
+            oc, orr = _canon(ocols, orows)
+            ok_rows = len(sr) == len(orr)
+            ok_schema = sc == oc
+            ok_hash = sr == orr
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            if status == "FAIL":
+                bad.append(name)
+                detail = {
+                    "rows": (len(sr), len(orr)),
+                    "schema": (sc, oc) if not ok_schema else "match",
+                }
+                if ok_schema and ok_rows and not ok_hash:
+                    for a, b in zip(sr, orr):
+                        if a != b:
+                            detail["first_diff"] = (a, b)
+                            break
+                print(f"{name}: FAIL {json.dumps(detail, default=str)[:500]}")
+            else:
+                print(f"{name}: OK ({len(sr)} rows)")
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"{name}: ERR {type(e).__name__}: {e}")
+    print(f"\n{len(bad)} failures" + (f": {bad}" if bad else ""))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
