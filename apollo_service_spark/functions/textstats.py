@@ -185,6 +185,74 @@ def word_ngrams(text: Column, n: int) -> Column:
     return _ngram_join(tokens(text), n)
 
 
+def top_run(sorted_arr: Column) -> Column:
+    """Most-frequent element of a SORTED array as ``struct(cnt, g)`` —
+    equal elements are adjacent after the sort, so one linear
+    :func:`~pyspark.sql.functions.aggregate` scan finds the longest run.
+    Ties break to the lexicographically smallest element for free: the
+    array is ascending and the scan only replaces the best on a STRICTLY
+    longer run, so the first (smallest) maximum wins.  Empty array →
+    ``(0, null)``.
+
+    This keeps per-doc argmax-by-frequency entirely inside one projection:
+    no explode, no shuffle — at corpus scale the repetition statistics cost
+    exactly one pass over the scan."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("bestcnt"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        same = s.prev.isNotNull() & (x == s.prev)
+        ends_better = (~same) & (s.run > s.bestcnt)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, s.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(ends_better, s.run).otherwise(s.bestcnt).alias("bestcnt"),
+            F.when(ends_better, s.prev).otherwise(s.bestg).alias("bestg"),
+        )
+
+    def finish(s: Column) -> Column:
+        last_better = s.run > s.bestcnt
+        return F.struct(
+            F.when(last_better, s.run).otherwise(s.bestcnt).alias("cnt"),
+            F.when(last_better, s.prev).otherwise(s.bestg).alias("g"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def dup_run_chars(sorted_arr: Column, n: int) -> Column:
+    """Character mass of DUPLICATED n-grams (occurrences beyond the first)
+    in a SORTED gram array: per run of length c > 1 adds
+    ``(c-1) * (length(g) - (n-1))`` (gram length minus its n-1 separator
+    spaces = word characters).  Same zero-shuffle linear scan as
+    :func:`top_run`."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def _run_dup(s: Column) -> Column:
+        return F.when(
+            s.run > 1,
+            (s.run - 1) * (F.length(s.prev) - (n - 1)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    def step(s: Column, x: Column) -> Column:
+        same = s.prev.isNotNull() & (x == s.prev)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, s.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(same, s.dup).otherwise(s.dup + _run_dup(s)).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda s: s.dup + _run_dup(s))
+
+
 def word_char_count(text: Column) -> Column:
     """Total characters across whitespace tokens (spaces excluded) — the
     denominator for Gopher-style repetition fractions."""

@@ -992,54 +992,29 @@ def q_repetition_stats(spark, sf_dir):
     (top-2-gram <= 0.20, dup-3-gram <= 0.30, applied to the rounded values
     so the oracle comparison is exact).
 
-    Plan shape: one scan, one explode of the (tagged) 2-/3-gram arrays built
-    JVM-side, one partial-aggregable shuffle on (doc_id, n, gram), one
-    reduce to doc_id — no Python, no window. Scales: keys are (doc, gram)
-    pairs, the worst skew is one pathological doc and that doc's grams
-    still spread across reducers at the first shuffle."""
+    Plan shape: ZERO shuffles — every statistic is per-doc, so the gram
+    arrays are built JVM-side, ``array_sort``-ed (equal grams become
+    adjacent), and the top-run / duplicated-run-mass scans run as linear
+    ``aggregate`` expressions inside one projection
+    (``functions/textstats.py`` ``top_run``/``dup_run_chars``).  Scales:
+    at corpus scale this costs exactly one pass over the scan with no
+    exchange at all (the earlier explode+double-groupBy shape shuffled
+    ~2 string rows per word, twice); the worst skew is one pathological
+    doc, which costs its own O(W log W) sort in its own task either way."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    per_doc = docs.select(
         "doc_id",
         textstats.word_char_count(F.col("text")).alias("wchars"),
-        textstats.word_ngrams(F.col("text"), 2).alias("bi"),
-        textstats.word_ngrams(F.col("text"), 3).alias("tri"),
-    )
-    tagged = base.select(
-        "doc_id",
-        "wchars",
-        F.explode_outer(
-            F.concat(
-                F.transform(
-                    "bi", lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))
-                ),
-                F.transform(
-                    "tri", lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))
-                ),
-            )
-        ).alias("t"),
-    ).select("doc_id", "wchars", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
-    counts = tagged.groupBy("doc_id", "wchars", "n", "g").agg(
-        F.count("*").alias("cnt")
-    )
-    # min(struct(-cnt, g)) = highest count, then smallest gram — a total
-    # order, so the argmax is deterministic across partitionings
-    per_doc = counts.groupBy("doc_id", "wchars").agg(
-        F.min(
-            F.when(
-                F.col("n") == 2,
-                F.struct((-F.col("cnt")).alias("negcnt"), F.col("g").alias("g")),
-            )
+        textstats.top_run(
+            F.array_sort(textstats.word_ngrams(F.col("text"), 2))
         ).alias("top"),
-        F.sum(
-            F.when(
-                (F.col("n") == 3) & (F.col("cnt") > 1),
-                (F.col("cnt") - 1) * (F.length("g") - 2),
-            ).otherwise(F.lit(0))
+        textstats.dup_run_chars(
+            F.array_sort(textstats.word_ngrams(F.col("text"), 3)), 3
         ).alias("dupchars"),
     )
     top_frac = F.round(
         F.coalesce(
-            (-F.col("top.negcnt"))
+            F.col("top.cnt")
             * (F.length(F.col("top.g")) - 1)
             / F.nullif(F.col("wchars"), F.lit(0)),
             F.lit(0.0),

@@ -322,3 +322,16 @@ def test_line_dedup_no_expand_and_bounded_exchanges(spark):
     assert "Expand" not in plan, plan
     n_exchanges = plan.count("+- Exchange")
     assert n_exchanges <= 5, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_repetition_stats_zero_exchange(spark):
+    """Repetition stats are per-doc scalars: the sorted-gram run-length
+    rewrite keeps them inside ONE codegen'd projection — any Exchange,
+    Expand, or Python eval here means the explode+groupBy shape crept
+    back (it shuffled ~2 string rows per word, twice)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["repetition_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Expand" not in plan and "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
