@@ -127,3 +127,42 @@ def test_repetition_stats_hand_computed(spark, tmp_path):
     assert got[2]["top_bigram_frac"] == round(2 / 3, 4)
     assert got[2]["dup_trigram_frac"] == 0.0
     assert got[2]["keep"] is False  # top bigram frac > 0.2
+
+
+def test_run_length_folds_match_brute_force(spark):
+    """top_run / dup_run_chars vs a Counter brute force on seeded random
+    gram multisets — guards the fold's fiddly parts: the strict-> update
+    (lexicographic tie-break inherited from the sort), folding the FINAL
+    run after the scan ends, and empty/singleton arrays."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260818)
+    vocab = ["aa bb", "bb cc", "aa cc", "cc aa", "dd ee", "aa bb"]
+    cases = [[]] + [["aa bb"]] + [
+        rng.choices(vocab, k=rng.randint(2, 40)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, grams) for i, grams in enumerate(cases)],
+        "id int, grams array<string>",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textstats.top_run(F.array_sort("grams")).alias("top"),
+            textstats.dup_run_chars(F.array_sort("grams"), 2).alias("dup"),
+        ).collect()
+    }
+    for i, grams in enumerate(cases):
+        counts = Counter(grams)
+        if counts:
+            # max count, then lexicographically smallest gram
+            bestcnt = max(counts.values())
+            bestg = min(g for g, c in counts.items() if c == bestcnt)
+            assert out[i]["top"]["cnt"] == bestcnt, (i, grams)
+            assert out[i]["top"]["g"] == bestg, (i, grams)
+        else:
+            assert out[i]["top"]["cnt"] == 0 and out[i]["top"]["g"] is None
+        expect_dup = sum((c - 1) * (len(g) - 1) for g, c in counts.items() if c > 1)
+        assert out[i]["dup"] == expect_dup, (i, grams)
