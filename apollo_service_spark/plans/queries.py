@@ -1164,12 +1164,21 @@ WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 def q_winnow_neardup(spark, sf_dir):
     """Near-dup pairs by shared MOSS-winnowed rolling-hash fingerprints
-    (k=8 chars, window=4) — documents sharing ≥40 selected fingerprints.
+    (k=20 chars, window=4) — documents sharing ≥40 selected fingerprints.
     The posting explode → 64-bit-key self-join is the same one-shuffle
     inverted-index shape as ``ngram_jaccard``; the fingerprint itself is a
-    true O(n) rolling recurrence in an Arrow-batched UDF."""
+    true O(n) rolling recurrence in an Arrow-batched UDF.
+
+    k is the noise floor: a fingerprint only fires on a shared run of
+    ≥ k + window - 1 chars, and k=8 made every common 8-char substring a
+    hot posting key (avg posting list 143, max 3826 at sf0.1 — the
+    within-key self-join fanned out to 257M rows for 5000 docs). k=20
+    (~4 words) keeps only genuine shared runs: avg posting 1.24, the same
+    join emits 1.0M rows — 250× less — and that ratio is what survives a
+    100 TB corpus, where boilerplate-hot keys are the known failure mode
+    of posting-list self-joins."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.winnow_pairs(docs, k=8, window=4, min_shared=40)
+    pairs = dedup.winnow_pairs(docs, k=20, window=4, min_shared=40)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1177,15 +1186,19 @@ def q_winnow_neardup(spark, sf_dir):
     )
 
 
-def _winnow_sql(k: int = 8, window: int = 4, min_shared: int = 40) -> str:
+def _winnow_sql(k: int = 20, window: int = 4, min_shared: int = 40) -> str:
     """DuckDB oracle for winnowing: O(n·k) per-position polynomial hashes
-    (HUGEINT intermediates — products exceed int64) reproduce the UDF's
-    rolling recurrence exactly, then a ROWS-window min + distinct selects
-    the same fingerprint set."""
+    reproduce the UDF's rolling recurrence exactly, then a ROWS-window min
+    + distinct selects the same fingerprint set.  Coefficients are
+    mod-reduced at build time (``pow(base, e, mod)``) and every product is
+    reduced per-term: a raw ``257^19`` coefficient would overflow even
+    HUGEINT, while per-term reduction bounds each product by
+    codepoint·mod < 2^82 and the k-term sum by k·mod < 2^66."""
     mod = 2305843009213693951  # 2^61 - 1, matches dedup._WINNOW_MOD
     base = 257
     terms = " + ".join(
-        f"unicode(substr(t, i+{j}, 1))::HUGEINT * {pow(base, k - 1 - j)}::HUGEINT"
+        f"(unicode(substr(t, i+{j}, 1))::HUGEINT"
+        f" * {pow(base, k - 1 - j, mod)}::HUGEINT) % {mod}::HUGEINT"
         for j in range(k)
     )
     return f"""WITH norm AS (
@@ -1221,7 +1234,7 @@ def q_dedup_components(spark, sf_dir):
     from ..operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.winnow_pairs(docs, k=8, window=4, min_shared=40)
+    pairs = dedup.winnow_pairs(docs, k=20, window=4, min_shared=40)
     comp = connected_components(pairs)
     return comp.select(
         F.col("id").cast("long").alias("doc_id"),
