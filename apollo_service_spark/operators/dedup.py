@@ -682,14 +682,28 @@ def duplicated_line_stats(
     the fraction shifts by one line in ~10¹⁰ — accepted, documented, and
     deterministic.
     """
+    # lines = stride-w word windows, built by zipping shifted slice views
+    # (arrays_zip pads the shorter views with nulls, concat_ws skips them,
+    # and the index-lambda filter keeps every words_per_line-th gram) — the
+    # per-index ``slice(w, i*wpl+1, wpl)`` lambda this replaces re-ran the
+    # token expression per line under the explode's Generate (~4× slower
+    # on the same data, same fix as textstats._ngram_join)
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n_lines = F.floor((F.size(w) + words_per_line - 1) / words_per_line)
-    lines = F.when(F.size(w) > 0, F.transform(
-        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
-        lambda i: F.array_join(
-            F.slice(w, i * words_per_line + 1, words_per_line), " "
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    sz = F.size(w)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(w, i + 1, F.greatest(sz - i, F.lit(0)))
+            for i in range(words_per_line)
+        ]
+    )
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(words_per_line)]),
+    )
+    lines = F.coalesce(
+        F.filter(grams, lambda x, i: i % words_per_line == 0),
+        F.array().cast("array<string>"),
+    )
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(lines).alias("line")
     ).select("id", F.xxhash64("line").alias("h"), F.length("line").alias("lchars"))
