@@ -1002,8 +1002,14 @@ def q_repetition_stats(spark, sf_dir):
     ~2 string rows per word, twice); the worst skew is one pathological
     doc, which costs its own O(W log W) sort in its own task either way."""
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id",
+    return _with_repetition_stats(docs.select("doc_id", "text")).drop("text")
+
+
+def _repetition_raw_cols() -> list:
+    """The three per-doc scalars the repetition fracs derive from, as named
+    column expressions over a ``text`` column — addable to ANY projection
+    that already scans the documents (they shuffle nothing)."""
+    return [
         textstats.word_char_count(F.col("text")).alias("wchars"),
         textstats.top_run(
             F.array_sort(textstats.word_ngrams(F.col("text"), 2))
@@ -1011,7 +1017,14 @@ def q_repetition_stats(spark, sf_dir):
         textstats.dup_run_chars(
             F.array_sort(textstats.word_ngrams(F.col("text"), 3)), 3
         ).alias("dupchars"),
-    )
+    ]
+
+
+def _with_repetition_stats(docs: "DataFrame") -> "DataFrame":
+    """Append ``top_bigram_frac`` / ``dup_trigram_frac`` / ``keep`` to a
+    frame carrying ``text`` — two stacked projections (raw scalars, then
+    fracs) so each raw scalar is evaluated once, zero shuffles."""
+    staged = docs.select("*", *_repetition_raw_cols())
     top_frac = F.round(
         F.coalesce(
             F.col("top.cnt")
@@ -1027,8 +1040,8 @@ def q_repetition_stats(spark, sf_dir):
         ),
         4,
     )
-    return per_doc.select(
-        "doc_id",
+    return staged.select(
+        *[c for c in docs.columns],
         top_frac.alias("top_bigram_frac"),
         dup_frac.alias("dup_trigram_frac"),
         ((top_frac <= 0.20) & (dup_frac <= 0.30)).alias("keep"),
@@ -1782,24 +1795,25 @@ def q_corpus_clean(spark, sf_dir):
     100 TB corpus-cleaning job actually runs; every stage is the same
     operator the standalone gate queries verify, composed.
 
-    Plan: the per-doc scalars (lang, quality, pii) ride ONE scan with zero
-    shuffles; repetition adds its two map-side-combinable reduces; the
-    line-dedup branch is the only corpus-global state; the three branches
-    re-join on the doc id.  Nothing Python, nothing collected."""
+    Plan: ALL per-doc scalars — lang, quality, pii, and (since the
+    sorted-gram rewrite made them per-doc expressions) the two Gopher
+    repetition fracs — ride ONE scan with zero shuffles; the line-dedup
+    branch is the only corpus-global state and the only join.  Nothing
+    Python, nothing collected."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        textstats.detect_lang(F.col("text")).alias("lang"),
-        F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
-        (
-            pii.count_emails(F.col("text"))
-            + pii.count_phones(F.col("text"))
-            + pii.count_ipv4(F.col("text"))
-        ).cast("long").alias("n_pii"),
-    )
-    rep = q_repetition_stats(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_repetition")
-    )
+    base = _with_repetition_stats(
+        docs.select(
+            "doc_id",
+            "text",
+            textstats.detect_lang(F.col("text")).alias("lang"),
+            F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
+            (
+                pii.count_emails(F.col("text"))
+                + pii.count_phones(F.col("text"))
+                + pii.count_ipv4(F.col("text"))
+            ).cast("long").alias("n_pii"),
+        )
+    ).select("doc_id", "lang", "quality", "n_pii", F.col("keep").alias("keep_repetition"))
     lines = q_line_dedup(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_lines")
     )
@@ -1808,7 +1822,7 @@ def q_corpus_clean(spark, sf_dir):
     # (an empty doc has no duplicated lines; quality/lang reject it instead)
     keep_lines = F.coalesce(F.col("keep_lines"), F.lit(True))
     out = (
-        base.join(rep, "doc_id").join(lines, "doc_id", "left")
+        base.join(lines, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
