@@ -335,3 +335,20 @@ def test_repetition_stats_zero_exchange(spark):
     assert "Exchange" not in plan, plan
     assert "Expand" not in plan and "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_corpus_clean_single_join(spark):
+    """corpus_clean's per-doc scalars (lang, quality, pii, repetition
+    fracs) must ride ONE scan: the only join is the corpus-global
+    line-dedup branch (plus its internal per-line join) — the repetition
+    re-join on doc_id must not come back."""
+    import re
+
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["corpus_clean"](spark, SF_DIR))
+    # formatted explain shows each node once in the tree and once in the
+    # details; count the numbered details headers only
+    n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE))
+    assert n_joins <= 2, f"{n_joins} joins\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
