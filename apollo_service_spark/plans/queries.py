@@ -1272,6 +1272,43 @@ SQL_DEDUP_COMPONENTS = f"""WITH RECURSIVE pairs AS (
 SELECT a AS doc_id, min(b) AS component FROM walk GROUP BY a"""
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The step a dedup pipeline actually ENDS with: from near-dup pairs to
+    the surviving corpus. Winnowing pairs → connected components → keep
+    exactly one document per component (the min-id label, i.e. the doc
+    whose id IS its component) plus every unpaired document; ``had_dups``
+    marks survivors that represent a dropped cluster.
+
+    Scale shape: the component table only holds docs that appeared in a
+    pair — a sliver of the corpus — so the left join back to the full scan
+    is AQE-broadcastable; everything upstream is the capped posting-join +
+    hash-min propagation the standalone gate queries verify."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.winnow_pairs(docs, k=20, window=4, min_shared=40)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component").isNotNull().alias("had_dups"),
+        )
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""WITH comp AS (
+{SQL_DEDUP_COMPONENTS}
+)
+SELECT d.doc_id, (c.component IS NOT NULL) AS had_dups
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 5 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1965,6 +2002,7 @@ _ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_neardup": SQL_WINNOW_NEARDUP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "fb_keyword_counts": SQL_FB_KEYWORD_COUNTS,
@@ -2022,6 +2060,7 @@ _QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_neardup": q_winnow_neardup,
     "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embed_neardup": q_embed_neardup,
     "fb_keyword_counts": q_fb_keyword_counts,
