@@ -159,29 +159,49 @@ def keyword_match_counts(df, text_col: Column, keywords: list):
     )
 
 
-def _ngram_join(toks: Column, n: int) -> Column:
-    """Word n-grams over a token array, space-joined, JVM-side only.
+def window_join(
+    toks: Column, n: int, stride: int = 1, keep_partial: bool = False
+) -> Column:
+    """Space-joined n-token windows over a token array, JVM-side only.
+    ``stride=1, keep_partial=False`` gives overlapping word n-grams;
+    ``stride=n, keep_partial=True`` gives non-overlapping fixed-width
+    "lines" including a short tail window (CCNet line shape).
 
     Shape matters here: the original ``transform(sequence(1, cnt), i ->
     array_join(slice(toks, i, n)))`` re-ran the full token expression per
     index inside the lambda, and inlined under a ``Generate`` (explode) it
     fell off the fast path — 5× slower than this zip form on the same
     data. Zipping n shifted ``slice`` views and ``concat_ws``-ing each
-    struct evaluates the token array n+1 times total, not once per gram.
+    struct evaluates the token array n+1 times total, not once per gram;
+    the stride filter runs BEFORE the transform so discarded windows never
+    build their strings.
 
-    Guarded for short inputs: ``greatest(size-(n-1), 0)`` makes every
-    slice empty when the doc has fewer than n tokens (``slice`` with a
-    0 start index would otherwise raise), and the ``coalesce`` keeps the
-    null-text result an empty array, matching the old ``when``-guarded
-    sequence shape."""
-    if n == 1:
+    Guards: without ``keep_partial``, ``greatest(size-(n-1), 0)`` makes
+    every slice empty when the doc has fewer than n tokens (``slice`` with
+    a 0 start index would otherwise raise); with it, the shifted views run
+    to the array end and ``arrays_zip`` pads the short ones with nulls,
+    which ``concat_ws`` skips — that is what keeps the tail window. The
+    ``coalesce`` keeps the null-input result an empty array."""
+    if n == 1 and stride == 1:
         return F.coalesce(toks, F.array().cast("array<string>"))
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    sz = F.size(toks)
+    if keep_partial:
+        parts = [F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))) for i in range(n)]
+    else:
+        cnt = F.greatest(sz - (n - 1), F.lit(0))
+        parts = [F.slice(toks, i + 1, cnt) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    if stride > 1:
+        zipped = F.filter(zipped, lambda s, i: i % stride == 0)
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
     return F.coalesce(grams, F.array().cast("array<string>"))
+
+
+def _ngram_join(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams — see :func:`window_join`."""
+    return window_join(toks, n)
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -204,9 +224,15 @@ def top_run(sorted_arr: Column) -> Column:
     longer run, so the first (smallest) maximum wins.  Empty array →
     ``(0, null)``.
 
+    Null elements are IGNORED (filtered before the scan): a null would
+    otherwise poison the fold — ``x == prev`` turns null, the pending run
+    never folds into the best, and the argmax silently corrupts (e.g.
+    ``['a','a','a',null]`` sorted would report ``(1, null)``).
+
     This keeps per-doc argmax-by-frequency entirely inside one projection:
     no explode, no shuffle — at corpus scale the repetition statistics cost
     exactly one pass over the scan."""
+    sorted_arr = F.filter(sorted_arr, lambda x: x.isNotNull())
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("bigint").alias("run"),
@@ -239,7 +265,8 @@ def dup_run_chars(sorted_arr: Column, n: int) -> Column:
     in a SORTED gram array: per run of length c > 1 adds
     ``(c-1) * (length(g) - (n-1))`` (gram length minus its n-1 separator
     spaces = word characters).  Same zero-shuffle linear scan as
-    :func:`top_run`."""
+    :func:`top_run`, and null elements are ignored for the same reason."""
+    sorted_arr = F.filter(sorted_arr, lambda x: x.isNotNull())
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("bigint").alias("run"),

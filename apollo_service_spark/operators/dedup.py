@@ -682,27 +682,14 @@ def duplicated_line_stats(
     the fraction shifts by one line in ~10¹⁰ — accepted, documented, and
     deterministic.
     """
-    # lines = stride-w word windows, built by zipping shifted slice views
-    # (arrays_zip pads the shorter views with nulls, concat_ws skips them,
-    # and the index-lambda filter keeps every words_per_line-th gram) — the
-    # per-index ``slice(w, i*wpl+1, wpl)`` lambda this replaces re-ran the
-    # token expression per line under the explode's Generate (~4× slower
-    # on the same data, same fix as textstats._ngram_join)
+    # lines = non-overlapping fixed-width word windows incl. the short tail
+    # (textstats.window_join with stride=n, keep_partial — the shared
+    # zip-of-shifted-slices shape; the per-index slice lambda it replaces
+    # re-ran the token expression per line under the explode's Generate,
+    # ~4× slower on the same data)
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    sz = F.size(w)
-    zipped = F.arrays_zip(
-        *[
-            F.slice(w, i + 1, F.greatest(sz - i, F.lit(0)))
-            for i in range(words_per_line)
-        ]
-    )
-    grams = F.transform(
-        zipped,
-        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(words_per_line)]),
-    )
-    lines = F.coalesce(
-        F.filter(grams, lambda x, i: i % words_per_line == 0),
-        F.array().cast("array<string>"),
+    lines = textstats.window_join(
+        w, words_per_line, stride=words_per_line, keep_partial=True
     )
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(lines).alias("line")

@@ -306,20 +306,21 @@ budget {BUDGET}/host/iteration, {N_HOSTS} hosts, local[{cpus}].
   {'SUB-LINEAR in accumulated seen size (store cost tracks the delta)'
    if sublinear else 'see per-superstep walls above'}
 
-## Run-to-run variance (read before comparing a re-run)
+## Run-to-run variance (historical note, recorded round 4 — read before comparing a re-run)
 
 This sandbox is a VM whose I/O and memory-commit throughput swing with
-hypervisor mood: seven full executions of this exact protocol landed between
-~306 s and ~446 s end-to-end, with warm tail supersteps between ~5.8 s and
-~18 s and iteration-0 (first corpus materialization) between 31 s and
-122 s. The recorded run above is whichever complete execution this file was
-last regenerated from (the fastest ran with 1-minute loadavg <1 at launch);
-a re-run anywhere in that range is the environment, not a code regression.
-What held INVARIANT across every run: identical scheduled/fetched/link
-counts per iteration (the engine is deterministic), JVM peak RSS
-27.4±0.2 GiB, and first→last per-url superstep cost falling by >8×
-(sub-linear in accumulated seen size — the criterion
-`superstep_cost_sublinear_in_seen` was true in all runs).
+hypervisor mood. As of round 4, seven full executions of this exact
+protocol landed between ~306 s and ~446 s end-to-end, with warm tail
+supersteps between ~5.8 s and ~18 s and iteration-0 (first corpus
+materialization) between 31 s and 122 s; this paragraph is frozen prose
+describing THAT sample, not the measured run above (which is whichever
+complete execution last regenerated this file). A re-run anywhere in that
+range is the environment, not a code regression. What held INVARIANT
+across every round-4 run: identical scheduled/fetched/link counts per
+iteration (the engine is deterministic), JVM peak RSS 27.4±0.2 GiB, and
+first→last per-url superstep cost falling by >8× (sub-linear in
+accumulated seen size — `superstep_cost_sublinear_in_seen`, also printed
+live in the JSON line above for the current run).
 """)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -5,6 +5,7 @@ DuckDB, comparing row count, column names (sorted), and a value hash
 (rows sorted, floats rounded to 6dp). Prints one line per query and a
 summary; exit 1 on any mismatch.
 """
+import decimal
 import json
 import math
 import os
@@ -25,10 +26,12 @@ TABLES = [
 
 
 def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, decimal.Decimal)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return f"{v:.6f}"
+        # + 0.0 folds -0.0 into 0.0 so the engines can't disagree on sign
+        return f"{f + 0.0:.6f}"
     if isinstance(v, bool):
         return str(int(v))
     if v is None:
@@ -54,6 +57,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     queries = em.queries()
     oracles = em.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     bad = []
     for name, fn in queries.items():
         if only and name not in only:

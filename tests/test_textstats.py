@@ -133,13 +133,15 @@ def test_run_length_folds_match_brute_force(spark):
     """top_run / dup_run_chars vs a Counter brute force on seeded random
     gram multisets — guards the fold's fiddly parts: the strict-> update
     (lexicographic tie-break inherited from the sort), folding the FINAL
-    run after the scan ends, and empty/singleton arrays."""
+    run after the scan ends, empty/singleton arrays, and null elements
+    (ignored — an unfiltered null would poison the run comparison and
+    drop the pending best)."""
     import random
     from collections import Counter
 
     rng = random.Random(20260818)
-    vocab = ["aa bb", "bb cc", "aa cc", "cc aa", "dd ee", "aa bb"]
-    cases = [[]] + [["aa bb"]] + [
+    vocab = ["aa bb", "bb cc", "aa cc", "cc aa", "dd ee", "aa bb", None]
+    cases = [[]] + [["aa bb"]] + [[None]] + [["aa bb", None, "aa bb", None, "aa bb"]] + [
         rng.choices(vocab, k=rng.randint(2, 40)) for _ in range(60)
     ]
     df = spark.createDataFrame(
@@ -155,7 +157,7 @@ def test_run_length_folds_match_brute_force(spark):
         ).collect()
     }
     for i, grams in enumerate(cases):
-        counts = Counter(grams)
+        counts = Counter(g for g in grams if g is not None)
         if counts:
             # max count, then lexicographically smallest gram
             bestcnt = max(counts.values())
