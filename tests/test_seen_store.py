@@ -282,3 +282,115 @@ def test_blob_paths_never_reused_across_reset(spark, tmp_path):
     # bitmaps; crawl A's urls are genuinely new again after the reset
     assert store.filter_new(_urls_df(spark, crawl_b)).count() == 0
     assert store.filter_new(_urls_df(spark, crawl_a)).count() == len(crawl_a)
+
+
+def test_concurrent_compaction_readers_never_lose_membership(tmp_path):
+    """Stress the compaction/read race at the file-protocol level (VERDICT r4
+    wrong #1): a writer thread appends delta files and periodically compacts
+    (write-new-then-delete-old, exactly ``update``'s protocol) while reader
+    threads run the store's real read-pass helpers. A reader whose glob
+    predates a compaction's new file but whose reads land after the old
+    deltas were deleted must RETRY the whole pass — returning a partial or
+    empty set would make ``filter_new`` re-admit already-seen urls, breaking
+    the at-most-once scheduling invariant resume accounting relies on.
+
+    Invariant checked on every reader pass: every url whose delta write had
+    committed (``os.replace`` landed) BEFORE the pass began is present in the
+    pass's result. Compaction only moves rows between files, never drops
+    them, so any missing url is a torn read."""
+    import contextlib
+    import os
+    import threading
+    import uuid as _uuid
+    from glob import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apollo_service_spark.operators.seen import (
+        _SegmentCache,
+        _load_pid_segments,
+        _read_delta_tables,
+    )
+
+    pid_dir = tmp_path / "pid=00000"
+    pid_dir.mkdir()
+    committed: list = []  # urls whose delta-file replace() has landed
+    lock = threading.Lock()
+    stop = threading.Event()
+    failures: list = []
+
+    def _write(table: pa.Table, name: str) -> None:
+        path = os.path.join(str(pid_dir), name)
+        pq.write_table(table, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def writer() -> None:
+        try:
+            for step in range(400):
+                urls = [f"https://h.com/s{step}/p{i}" for i in range(4)]
+                t = pa.table(
+                    {
+                        "h1": pa.array(
+                            [hash((u, 1)) % (1 << 62) for u in urls], pa.int64()
+                        ),
+                        "h2": pa.array(
+                            [hash((u, 2)) % (1 << 62) for u in urls], pa.int64()
+                        ),
+                        "url": pa.array(urls),
+                    }
+                )
+                _write(t, f"delta-{_uuid.uuid4().hex}.parquet")
+                with lock:
+                    committed.extend(urls)
+                existing = sorted(_glob(os.path.join(str(pid_dir), "*.parquet")))
+                if len(existing) > 3:  # compact aggressively: many race windows
+                    tables = _read_delta_tables(str(pid_dir))
+                    _write(
+                        pa.concat_tables(tables),
+                        f"compact-{_uuid.uuid4().hex}.parquet",
+                    )
+                    for f in existing:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(f)
+        finally:
+            stop.set()
+
+    def reader() -> None:
+        cache = _SegmentCache()
+        while not stop.is_set() and not failures:
+            with lock:
+                snapshot = set(committed)
+            tables = _read_delta_tables(str(pid_dir), columns=["url"])
+            via_tables = set()
+            for t in tables:
+                via_tables.update(t.column("url").to_pylist())
+            missing = snapshot - via_tables
+            if missing:
+                failures.append(("_read_delta_tables dropped", sorted(missing)[:5]))
+                return
+            with lock:
+                snapshot = set(committed)
+            via_segments = set()
+            for _key, _sorted_key, url_col in _load_pid_segments(
+                str(pid_dir), cache
+            ):
+                via_segments.update(url_col.to_pylist())
+            missing = snapshot - via_segments
+            if missing:
+                failures.append(("_load_pid_segments dropped", sorted(missing)[:5]))
+                return
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not failures, failures
+    # final state is complete and consistent
+    final = set()
+    for t in _read_delta_tables(str(pid_dir), columns=["url"]):
+        final.update(t.column("url").to_pylist())
+    assert final == set(committed)
