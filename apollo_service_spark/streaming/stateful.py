@@ -19,6 +19,17 @@ Design mirrors the batch store deliberately:
   store's salted pid (``pid_col``) instead of the raw host to spread it —
   the operator takes whatever grouping the caller provides.
 
+State-growth bound: ``applyInPandasWithState`` rewrites a group's FULL
+state value on every ``state.update``, so a hot group's per-batch state I/O
+grows O(accumulated history) — quadratic total over a long-lived stream if
+left unmanaged. Two mitigations here: a batch that contributes no new
+hashes performs NO state write at all (hot groups dominated by repeats pay
+zero state I/O), and long crawls should key by the salted pid + reset the
+checkpoint per crawl (capping any one group's history at accumulated/P,
+exactly the batch store's bound). A fixed-size digest (bloom per group)
+would bound it further at the cost of exactness — the batch store is the
+right home for that trade, not the exact streaming dedup.
+
 ``applyInPandasWithState`` is the documented Spark surface for custom
 stateful logic (arbitrary state, Arrow-batched); output mode is append and
 state never times out (a crawl's seen set is permanent for the crawl's
@@ -35,19 +46,39 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def _dedup_group(key, pdf_iter, state: GroupState):
     """Emit only urls whose hash is unseen for this group; fold the new
-    hashes into the state array."""
+    hashes into the state array.
+
+    Fully vectorized (no per-row Python): membership against the persisted
+    state is one ``np.isin`` per Arrow batch, first-occurrence-within-batch
+    is ``pd.Series.duplicated``. The state is written ONLY when the batch
+    contributed new hashes — a repeat-only batch performs no state I/O (see
+    the module docstring's state-growth bound)."""
+    import numpy as np
     import pandas as pd
 
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
+    seen = (
+        np.asarray(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
+    new_chunks: list = []
+    out_chunks: list = []
     for pdf in pdf_iter:
-        for h, url in zip(pdf["h"], pdf["url"]):
-            h = int(h)
-            if h not in seen:
-                seen.add(h)
-                out.append(url)
-    state.update((list(seen),))
-    yield pd.DataFrame({"url": out})
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        fresh = ~np.isin(h, seen)
+        if new_chunks:
+            fresh &= ~np.isin(h, np.concatenate(new_chunks))
+        fresh &= ~pd.Series(h).duplicated().to_numpy()
+        if fresh.any():
+            out_chunks.append(pdf.loc[fresh, ["url"]])
+            new_chunks.append(h[fresh])
+    if new_chunks:
+        state.update(
+            (np.concatenate([seen] + new_chunks).tolist(),)
+        )
+        yield pd.concat(out_chunks, ignore_index=True)
+    else:
+        yield pd.DataFrame({"url": pd.Series([], dtype=object)})
 
 
 def dedup_url_stream(urls: DataFrame, group_col: str = "host") -> DataFrame:
