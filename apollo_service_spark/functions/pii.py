@@ -28,8 +28,19 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # optional +country group, then 3-3/4-4 digit groups separated by '-' or ' '
-# (the country group is genuinely optional: '555-012-3456' matches too)
-PHONE_PATTERN = r"(\+?\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}"
+# (the country group is genuinely optional: '555-012-3456' matches too).
+# Boundary guards (ADVICE r4): the leading `(?:\+|\b)` and trailing `\b`
+# stop matches from starting or ending INSIDE a digit run — '1234-567-8901'
+# previously redacted to '1<PHONE>'; now it doesn't match at all (RE2 has no
+# lookbehind, so `\b` — which both dialects treat identically between ASCII
+# word/non-word chars — is the strongest symmetric guard available).
+# Residual partial-run cases: a dash is itself a word boundary, so a
+# dash-delimited LONGER run whose tail parses as a full phone still
+# truncates (e.g. '1234-567-890-1234' → '1234-<PHONE>'); accepting that
+# keeps legit dash-prefixed phones ('call-555-012-3456') redactable.  The
+# Unicode-vs-ASCII `\b` caveat documented for IPV4_PATTERN below applies to
+# the phone boundaries equally.
+PHONE_PATTERN = r"(?:\+|\b)(?:\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}\b"
 # KNOWN dialect edge (found by tests/test_pii.py's cross-engine fuzz): \b is
 # Unicode-aware in Java ('ü' is a word char, so '1.2.3.4ü' does NOT end at a
 # boundary) but ASCII-only in RE2 (it does).  RE2 has no lookarounds, so the

@@ -60,6 +60,14 @@ def split_label(
             f"split weights sum to {total} > 1; later labels would be "
             "silently starved"
         )
+    if len(weights) == 1 and total < 1.0 - 1e-9:
+        # remainder-to-last degenerates with one label: EVERY row would get
+        # it and the weight would be silently ignored (ADVICE r4)
+        raise ValueError(
+            "split_label with a single label assigns all rows to it "
+            f"(weight {total} would be ignored); use sample_fraction for a "
+            "fractional subset"
+        )
     bucket = hash_bucket(key, n_buckets, salt)
     expr = None
     cum = 0.0

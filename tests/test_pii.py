@@ -142,3 +142,26 @@ def test_known_unicode_boundary_divergence(spark):
     ).fetchone()[0]
     con.close()
     assert duck_n == 1  # RE2: ASCII-only \b, boundary before '\u00fc'
+
+
+def test_phone_boundary_guards_digit_runs(spark):
+    """ADVICE r4: a phone-shaped TAIL of a longer digit run must not match —
+    '1234-567-8901' used to redact to '1<PHONE>'. The \\b guards also reject
+    runs that continue with extra digits on the right, while genuine phones
+    after '+', punctuation, or a hyphenated word still redact."""
+    r = _one(spark, "order 1234-567-8901 and 15550123456")
+    assert r["p"] == 0
+    assert r["r"] == "order 1234-567-8901 and 15550123456"
+
+    r = _one(spark, "call 555-012-345678 now")  # run continues right
+    assert r["p"] == 0
+
+    r = _one(spark, "+555-012-3456 and call-555-012-3456")
+    assert r["p"] == 2
+    assert r["r"] == "<PHONE> and call-<PHONE>"
+
+    # documented residual: dash-delimited longer run whose tail is a full
+    # phone still truncates (dash IS a word boundary)
+    r = _one(spark, "1234-567-890-1234")
+    assert r["p"] == 1
+    assert r["r"] == "1234-<PHONE>"

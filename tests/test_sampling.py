@@ -90,3 +90,16 @@ def test_oversubscribed_weights_raise(spark):
 
     with _pytest.raises(ValueError, match="sum"):
         sampling.split_label("doc_id", {"a": 0.9, "b": 0.2, "c": 0.1})
+
+
+def test_split_label_single_entry_fractional_raises():
+    """ADVICE r4: {'sample': 0.01} would assign ALL rows to 'sample' (the
+    remainder-to-last rule degenerates); that must be a loud error, not a
+    silently ignored weight. A single label with weight 1.0 stays legal."""
+    import pytest
+
+    from apollo_service_spark.functions import sampling
+
+    with pytest.raises(ValueError, match="single label"):
+        sampling.split_label("doc_id", {"sample": 0.01})
+    sampling.split_label("doc_id", {"all": 1.0})  # no raise
