@@ -48,17 +48,25 @@ DOCUMENT_EXTENSIONS = [
     ".ppt", ".pptx", ".txt", ".rtf", ".csv",
 ]
 
+# The reference carries TWO tiers of categorizer lists: LinkProcessor's
+# in-code fallback defaults (link_processor.py:27-35: no jpg/jpeg/png,
+# `app.apple`, ['bafl','falah']) and the config values its runtime path
+# actually passes (config.py:26-39 via orchestrator.py:303-305: jpg/jpeg/png
+# included, `apps.apple`, ['ubl','united']). SURVEY F10 cites config.py as
+# the spec, so the config tier is the default here; `categorize` takes the
+# three lists as parameters for deployments that customize them (the
+# reference's constructor does the same). See PARITY.md "F10 constant tiers".
 FILE_EXTENSIONS = [
-    "pdf", "xls", "xlsx", "doc", "docx", "ppt", "pptx",
-    "csv", "txt", "rtf", "zip", "rar", "tar", "gz", "xlsb",
+    "pdf", "xls", "xlsx", "doc", "docx", "ppt", "pptx", "xlsb",
+    "csv", "txt", "rtf", "zip", "rar", "tar", "gz", "jpg", "jpeg", "png",
 ]
 
 SOCIAL_MEDIA_KEYWORDS = [
     "instagram", "facebook", "linkedin", "twitter", "tiktok",
-    "youtube", "apps.google", "appstore", "play.google", "app.apple",
+    "youtube", "apps.google", "appstore", "play.google", "apps.apple",
 ]
 
-BANK_KEYWORDS = ["bafl", "falah"]
+BANK_KEYWORDS = ["ubl", "united"]
 
 YEAR_PATTERN = r"(?:19|20)\d{2}"
 
@@ -335,11 +343,22 @@ def is_document_url(url: Column) -> Column:
     return F.lower(url_path(url)).rlike(r"\.(" + ext_re + r")$")
 
 
-def categorize(url: Column) -> Column:
+def categorize(
+    url: Column,
+    file_extensions: list | None = None,
+    social_media_keywords: list | None = None,
+    bank_keywords: list | None = None,
+) -> Column:
     """Order-sensitive CASE (link_processor.py:89-100):
 
     social-media keyword → 'social_media'; else no bank keyword → 'misc';
     else file extension → 'file'; else 'bank'.
+
+    The three lists default to the reference's runtime config values
+    (config.py:26-39, passed via orchestrator.py:303-305) — see the comment
+    above the module constants for the config-vs-fallback tier distinction.
+    They are injectable exactly as in the reference's constructor
+    (link_processor.py:17-20) for customized deployments.
 
     The reference's patterns are case-insensitive regex *searches*, so plain
     keywords decompose into ``contains`` on the lowered url (byte scans, no
@@ -347,21 +366,28 @@ def categorize(url: Column) -> Column:
     small rlike. The file-extension regex is reached only for bank-keyword
     urls (CaseWhen evaluates lazily per row).
     """
+    social_kws = social_media_keywords or SOCIAL_MEDIA_KEYWORDS
+    bank_kws = bank_keywords or BANK_KEYWORDS
+    file_re = (
+        _FILE_RE
+        if file_extensions is None
+        else r"\.(" + "|".join(file_extensions) + r")($|\?)"
+    )
     lower = F.lower(url)
-    literal_social = [k for k in SOCIAL_MEDIA_KEYWORDS if "." not in k]
-    dotted_social = [k for k in SOCIAL_MEDIA_KEYWORDS if "." in k]
+    literal_social = [k for k in social_kws if "." not in k]
+    dotted_social = [k for k in social_kws if "." in k]
     social = F.lit(False)
     for kw in literal_social:
-        social = social | lower.contains(kw)
+        social = social | lower.contains(kw.lower())
     if dotted_social:
         social = social | url.rlike(_CI + "(" + "|".join(dotted_social) + ")")
     bank = F.lit(False)
-    for kw in BANK_KEYWORDS:
-        bank = bank | lower.contains(kw)
+    for kw in bank_kws:
+        bank = bank | lower.contains(kw.lower())
     return (
         F.when(social, F.lit("social_media"))
         .when(~bank, F.lit("misc"))
-        .when(url.rlike(_CI + _FILE_RE), F.lit("file"))
+        .when(url.rlike(_CI + file_re), F.lit("file"))
         .otherwise(F.lit("bank"))
     )
 

@@ -36,7 +36,7 @@ from ..sources.tables import load_table
 
 HOST_SQL = (
     "'host' || CAST(doc_id % 7 AS STRING) || "
-    "(CASE WHEN doc_id % 11 = 0 THEN '.bafl.com.pk' ELSE '.example.com' END)"
+    "(CASE WHEN doc_id % 11 = 0 THEN '.ubl.com.pk' ELSE '.example.com' END)"
 )
 
 PATHQ_SQL = """CASE doc_id % 7
@@ -46,7 +46,7 @@ PATHQ_SQL = """CASE doc_id % 7
   WHEN 3 THEN '/sec' || CAST(doc_id % 5 AS STRING) || '/p' || CAST(doc_id AS STRING)
   WHEN 4 THEN '/media/photo' || CAST(doc_id AS STRING) || '.jpg'
   WHEN 5 THEN '/go/facebook-page'
-  ELSE '/falah/deals/' || CAST(doc_id % 13 AS STRING)
+  ELSE '/united/deals/' || CAST(doc_id % 13 AS STRING)
 END"""
 
 URL_SQL = f"'https://' || {HOST_SQL} || ({PATHQ_SQL})"
@@ -94,9 +94,13 @@ def q_url_categorize_counts(spark, sf_dir):
     )
 
 
-_SOCIAL_RE_SQL = "(instagram|facebook|linkedin|twitter|tiktok|youtube|apps\\.google|appstore|play\\.google|app\\.apple)"
-_BANK_RE_SQL = "(bafl|falah)"
-_FILE_RE_SQL = "\\.(pdf|xls|xlsx|doc|docx|ppt|pptx|csv|txt|rtf|zip|rar|tar|gz|xlsb)($|\\?)"
+# derived from the urlkit config-tier constants so engine and oracle can't
+# drift (VERDICT r4 wrong #2: a hand-copied list silently masked divergence)
+_SOCIAL_RE_SQL = (
+    "(" + "|".join(k.replace(".", "\\.") for k in urlkit.SOCIAL_MEDIA_KEYWORDS) + ")"
+)
+_BANK_RE_SQL = "(" + "|".join(urlkit.BANK_KEYWORDS) + ")"
+_FILE_RE_SQL = "\\.(" + "|".join(urlkit.FILE_EXTENSIONS) + ")($|\\?)"
 
 SQL_URL_CATEGORIZE = f"""{ORACLE_URLS_CTE}
 SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -237,7 +241,7 @@ def q_robots_gate(spark, sf_dir):
             ("host1.example.com", "/admin"),
             ("host1.example.com", "/media"),
             ("host3.example.com", "/sec"),
-            ("host4.bafl.com.pk", "/falah"),
+            ("host4.ubl.com.pk", "/united"),
         ],
         "host string, disallow_prefix string",
     )
@@ -251,7 +255,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM (VALUES ('host1.example.com', '/admin'),
                         ('host1.example.com', '/media'),
                         ('host3.example.com', '/sec'),
-                        ('host4.bafl.com.pk', '/falah')) r(host, prefix)
+                        ('host4.ubl.com.pk', '/united')) r(host, prefix)
   WHERE r.host = p.host AND p.path LIKE r.prefix || '%')"""
 
 
@@ -266,7 +270,7 @@ PATH_NOQ_SQL = """CASE doc_id % 7
   WHEN 3 THEN '/sec' || CAST(doc_id % 5 AS STRING) || '/p' || CAST(doc_id AS STRING)
   WHEN 4 THEN '/media/photo' || CAST(doc_id AS STRING) || '.jpg'
   WHEN 5 THEN '/go/facebook-page'
-  ELSE '/falah/deals/' || CAST(doc_id % 13 AS STRING)
+  ELSE '/united/deals/' || CAST(doc_id % 13 AS STRING)
 END"""
 
 # final_url fragment for the scraper's redirect-to-404 rule (scraper.py:

@@ -17,7 +17,7 @@ _HOSTS = [
 _PATHS = [
     "", "/", "/a/b/c", "/reports/annual-report-2019.pdf", "/login",
     "/SEC3/P7", "/a//b///c", "/x.JPG", "/path/404", "/404", "/x.aspx",
-    "/falah/bafl", "/media.mp4/x", "/x.pdf.bak", "/1988/2055",
+    "/falah/bafl", "/united/ubl", "/x.PNG", "/media.mp4/x", "/x.pdf.bak", "/1988/2055",
     "/files/.xlsx", "/a/b/", "/%20space", "/x.zip",
 ]
 _QUERIES = ["", "?year=2005", "?a=1&b=1999", "?y=abc", "?x=", "?=v", "?a=1&a=2020"]
