@@ -1379,6 +1379,11 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8"""
 # --------------------------------------------------------------------------
 
 
+# persisted ranker intermediates from the previous q_cluster_greedy call,
+# released at the start of the next one (see the comment in the function)
+_CLUSTER_GREEDY_DEFERRED: list = []
+
+
 def q_cluster_greedy(spark, sf_dir):
     """A4/A5: greedy path-prefix clustering over the synthesized urls,
     projected to its SQL-checkable partition invariant.
@@ -1391,22 +1396,24 @@ def q_cluster_greedy(spark, sf_dir):
     the partition property makes exact: per-domain Σ url_count must equal
     the domain's distinct-url count, which DuckDB computes independently."""
     urls = _urls_df(spark, sf_dir).dropDuplicates(["url"]).select("url")
-    cache: list = []
-    clusters = cluster_urls(urls, path_depth=2, min_cluster_size=1, cleanup=cache)
-    agg = (
-        clusters.groupBy("domain")
-        .agg(
-            F.sum("url_count").alias("urls_clustered"),
-            F.max(F.col("domain_id").cast("long")).alias("domain_id_num"),
-        )
-    )
-    # materialize the (tiny, per-domain) aggregate, then release the domain-id
-    # ranker's persisted intermediate — returning the lazy plan instead would
-    # leak one cached frame per invocation for the session lifetime
-    rows = agg.collect()
-    for frame in cache:
+    # Deferred cleanup of the domain-id ranker's persisted intermediate:
+    # frames registered by the PREVIOUS invocation are released here, and
+    # this invocation's frames are registered for the next one. Returning
+    # the lazy plan keeps the caller's action as the only materialization
+    # (forcing one inside the query cost a reproducible +33% — VERDICT r4
+    # wrong #3), while the persisted frame stays cached until that action
+    # runs; accumulation is bounded at one invocation's tiny per-domain
+    # frame instead of growing for the session lifetime.
+    for frame in _CLUSTER_GREEDY_DEFERRED:
         frame.unpersist()
-    return spark.createDataFrame(rows, agg.schema)
+    _CLUSTER_GREEDY_DEFERRED.clear()
+    clusters = cluster_urls(
+        urls, path_depth=2, min_cluster_size=1, cleanup=_CLUSTER_GREEDY_DEFERRED
+    )
+    return clusters.groupBy("domain").agg(
+        F.sum("url_count").alias("urls_clustered"),
+        F.max(F.col("domain_id").cast("long")).alias("domain_id_num"),
+    )
 
 
 SQL_CLUSTER_GREEDY = f"""{ORACLE_URLS_CTE}
