@@ -1205,14 +1205,16 @@ def q_winnow_neardup(spark, sf_dir):
 
 def _winnow_sql(k: int = 20, window: int = 4, min_shared: int = 40) -> str:
     """DuckDB oracle for winnowing: O(n·k) per-position polynomial hashes
-    reproduce the UDF's rolling recurrence exactly, then a ROWS-window min
+    reproduce the UDF's hash values exactly, then a ROWS-window min
     + distinct selects the same fingerprint set.  Coefficients are
     mod-reduced at build time (``pow(base, e, mod)``) and every product is
-    reduced per-term: a raw ``257^19`` coefficient would overflow even
+    reduced per-term: a raw ``base^19`` coefficient would overflow even
     HUGEINT, while per-term reduction bounds each product by
-    codepoint·mod < 2^82 and the k-term sum by k·mod < 2^66."""
-    mod = 2305843009213693951  # 2^61 - 1, matches dedup._WINNOW_MOD
-    base = 257
+    codepoint·mod < 2^82 and the k-term sum by k·mod < 2^66.  Base and
+    modulus come from the operator's own constants so the two engines
+    cannot drift."""
+    mod = dedup._WINNOW_MOD
+    base = dedup._WINNOW_BASE
     terms = " + ".join(
         f"(unicode(substr(t, i+{j}, 1))::HUGEINT"
         f" * {pow(base, k - 1 - j, mod)}::HUGEINT) % {mod}::HUGEINT"

@@ -222,7 +222,7 @@ def _winnow_naive(text, k=8, window=4):
     recurrence and sliding-min bookkeeping."""
     import re
 
-    M, B = (1 << 61) - 1, 257
+    M, B = dedup._WINNOW_MOD, dedup._WINNOW_BASE
     t = re.sub(r"\s+", " ", text.strip()).lower()
     if len(t) < k:
         return set()
@@ -341,3 +341,31 @@ def test_duplicated_line_stats_boilerplate_hot_key(spark):
         # line 1 = 'nav home about' (shared by all), line 2 = unique tail
         assert r["n_lines"] == 2 and r["n_dup_lines"] == 1
         assert not r["keep"]  # ~half the chars are boilerplate
+
+
+def test_winnow_arrays_fuzz_vs_naive():
+    """The vectorized O(n) rotation pipeline (dedup._winnow_arrays) must
+    match the naive per-position oracle on random batches: doc-boundary
+    windows masked, unicode codepoints, empty/short docs interleaved, and
+    every (k, window) the engine uses."""
+    import random
+
+    from apollo_service_spark.operators.dedup import _winnow_arrays
+
+    rng = random.Random(99)
+    alphabet = "abcdef ghijéü中01."
+    for trial in range(6):
+        k, window = rng.choice([(8, 4), (20, 4), (5, 2)])
+        docs = []
+        for _ in range(30):
+            ln = rng.choice([0, 1, k - 1, k, k + window - 2, k + window - 1, 40, 200])
+            docs.append("".join(rng.choice(alphabet) for _ in range(ln)))
+        # _winnow_arrays takes already-normalized text: normalize here the
+        # same way the UDF does before calling it
+        import re
+
+        norm = [re.sub(r"\s+", " ", d.strip()).lower() for d in docs]
+        got = _winnow_arrays("".join(norm), [len(d) for d in norm], k, window)
+        for i, d in enumerate(norm):
+            expect = sorted(_winnow_naive(d, k=k, window=window))
+            assert sorted(got[i]) == expect, (trial, i, k, window, d)
