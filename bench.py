@@ -49,6 +49,10 @@ HEADLINE = [
     "line_dedup",
     "hash_split",
     "corpus_clean",
+    # added r5: the winnowing near-dup path, now the O(n) vectorized
+    # rotation pipeline (BENCH/WINNOW.md) — tracked so the last former
+    # Python hot spot stays measured per round
+    "winnow_neardup",
 ]
 
 
