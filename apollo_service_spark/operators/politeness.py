@@ -36,10 +36,23 @@ def select_batch(
     politeness: DataFrame | None,
     default_budget: int,
     prune_partitions: int | None = None,
+    order: list | None = None,
 ) -> tuple:
     """Split frontier into (selected, carryover) by per-host budget.
 
     frontier: (url, host, depth); politeness: (host, budget).
+
+    ``order`` is the per-host priority: the window's sort expressions,
+    defaulting to the canonical BFS :func:`frontier_order`. Passing e.g.
+    ``[F.col("score").desc(), F.col("url").asc()]`` turns the budgeted
+    window into a true per-domain PRIORITY queue (highest-value urls fetched
+    first under the same politeness budget) — the scheduling shape the
+    north-star names, with the priority column free to come from anywhere
+    (link-graph PageRank, OPIC cash, recrawl staleness). The order MUST be
+    total (tie-break on ``url``) or the crawl ordering stops being
+    replayable; the same order is used by both the pruning pre-pass and the
+    exact window, which is what keeps the pruned path's selected set
+    identical.
 
     ``prune_partitions`` (opt-in) bounds the mega-host window straggler: the
     per-host ``row_number`` window puts ALL of a host's frontier rows in one
@@ -54,6 +67,8 @@ def select_batch(
     extra shuffle of the frontier delta, which is why it is opt-in rather
     than the default for skew-free crawls.
     """
+    if order is None:
+        order = frontier_order()
     if politeness is not None:
         base = frontier.join(F.broadcast(politeness), "host", "left")
         base = base.withColumn(
@@ -67,7 +82,7 @@ def select_batch(
         sub = F.pmod(
             F.xxhash64("url", F.lit(0x51_7C_C1B7)), F.lit(prune_partitions)
         )
-        w_local = Window.partitionBy("host", "_sub").orderBy(*frontier_order())
+        w_local = Window.partitionBy("host", "_sub").orderBy(*order)
         flagged = base.withColumn("_sub", sub).withColumn(
             "_lr", F.row_number().over(w_local)
         )
@@ -78,7 +93,7 @@ def select_batch(
             "_sub", "_lr"
         )
 
-    win = Window.partitionBy("host").orderBy(*frontier_order())
+    win = Window.partitionBy("host").orderBy(*order)
     ranked = base.withColumn("_rank", F.row_number().over(win))
     selected = ranked.filter(F.col("_rank") <= F.col("budget")).drop("_rank", "budget")
     carryover = ranked.filter(F.col("_rank") > F.col("budget")).drop("_rank", "budget")

@@ -14,6 +14,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def parse_robots(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Raw robots.txt bodies → DISTINCT ``(host, disallow_prefix)`` rules.
+
+    Reproduces the reference's line scan EXACTLY (`apollo.py:260-264`),
+    including its deliberate crudeness — these are semantics, not bugs to
+    fix, because the gate matches the reference's blocked set:
+
+    * lines come from ``body.split('\\n')`` (a CRLF body leaves a trailing
+      ``\\r`` on each line, removed by the strip below);
+    * only lines where ``line.startswith('Disallow:')`` count — exact case,
+      NO leading-whitespace tolerance, and NO User-agent scoping (every
+      ``Disallow:`` line in the file applies to this crawler);
+    * the prefix is ``line.split(':', 1)[1].strip()`` — everything after
+      the FIRST colon (which ``startswith`` pins at offset 9), whitespace-
+      stripped; empty prefixes are dropped (they'd block nothing anyway
+      since ``path.startswith('')`` is True but the reference guards on
+      truthiness first).
+
+    All Catalyst: split → explode → startswith filter → substring + regexp
+    trim — no Python in the path. The trim is ASCII ``\\s`` on both engines
+    (same documented scoping as the PII patterns' ``\\b`` caveat; robots
+    bodies are ASCII in practice). Output feeds :func:`aggregate_rules` →
+    :func:`robots_allow` unchanged, replacing the pre-parsed rules table
+    with a per-host text column fetched like any other page.
+    """
+    line = F.explode(F.split(F.col(body_col), "\n")).alias("line")
+    prefix = F.regexp_replace(
+        F.expr("substring(line, 10)"), r"^\s+|\s+$", ""
+    ).alias("disallow_prefix")
+    return (
+        bodies.select(F.col(host_col).alias("host"), line)
+        .filter(F.col("line").startswith("Disallow:"))
+        .select("host", prefix)
+        .filter(F.col("disallow_prefix") != "")
+        .distinct()
+    )
+
+
+def parse_robots_py(body: str) -> list:
+    """Python mirror of the reference loop (apollo.py:260-264) for tests."""
+    out = []
+    for line in (body or "").split("\n"):
+        if line.startswith("Disallow:"):
+            p = line.split(":", 1)[1].strip()
+            if p:
+                out.append(p)
+    return sorted(set(out))
+
+
 def aggregate_rules(robots: DataFrame) -> DataFrame:
     """(host, disallow_prefix) rows → (host, disallow_prefixes array)."""
     return (

@@ -259,6 +259,107 @@ WHERE NOT EXISTS (
   WHERE r.host = p.host AND p.path LIKE r.prefix || '%')"""
 
 
+def q_robots_parse(spark, sf_dir):
+    """S3 upstream half: raw robots.txt text → (host, disallow_prefix)
+    rules, the reference's exact line scan (apollo.py:260-264) as pure
+    Catalyst (split → explode → startswith → substring+trim → distinct).
+
+    Bodies are synthesized per doc_id with every parser edge the reference
+    semantics pin: a CRLF-terminated line (trailing \\r stripped), an empty
+    ``Disallow:`` (dropped), a lowercase ``disallow:`` (ignored — exact
+    case), an indented ``  Disallow:`` (ignored — no whitespace tolerance),
+    a path containing a colon (split on FIRST colon only), an ``Allow:``
+    line and a ``User-agent:`` header (both ignored — the reference applies
+    every Disallow to every agent). Hosts repeat across doc_ids, so the
+    DISTINCT set is what survives."""
+    from ..operators.robots import parse_robots
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line_admin = F.concat(F.lit("Disallow: /admin"), (d % 5).cast("string"))
+    line_edge = (
+        F.when(d % 4 == 0, F.lit("Disallow:"))
+        .when(d % 4 == 1, F.lit("disallow: /lower"))
+        .when(d % 4 == 2, F.lit("  Disallow: /indent"))
+        .otherwise(F.concat(F.lit("Disallow: /x:y"), (d % 3).cast("string")))
+    )
+    line_media = F.concat(
+        F.lit("Disallow: /media/"), (d % 7).cast("string"), F.lit("\r")
+    )
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        line_admin,
+        line_edge,
+        line_media,
+        F.lit("Allow: /public"),
+    )
+    bodies = docs.select(F.expr(HOST_SQL).alias("host"), body.alias("body"))
+    return parse_robots(bodies)
+
+
+SQL_ROBOTS_PARSE = f"""WITH bodies AS (
+  SELECT {HOST_SQL} AS host,
+         'User-agent: *' || chr(10)
+         || 'Disallow: /admin' || CAST(doc_id % 5 AS STRING) || chr(10)
+         || (CASE doc_id % 4
+               WHEN 0 THEN 'Disallow:'
+               WHEN 1 THEN 'disallow: /lower'
+               WHEN 2 THEN '  Disallow: /indent'
+               ELSE 'Disallow: /x:y' || CAST(doc_id % 3 AS STRING) END) || chr(10)
+         || 'Disallow: /media/' || CAST(doc_id % 7 AS STRING) || chr(13) || chr(10)
+         || 'Allow: /public' AS body
+  FROM documents
+), lines AS (
+  SELECT host, unnest(string_split(body, chr(10))) AS line FROM bodies
+), rules AS (
+  SELECT host,
+         regexp_replace(substring(line, 10), '^\\s+|\\s+$', '', 'g') AS disallow_prefix
+  FROM lines WHERE line LIKE 'Disallow:%'
+)
+SELECT DISTINCT host, disallow_prefix FROM rules WHERE disallow_prefix <> ''"""
+
+
+def q_priority_schedule(spark, sf_dir):
+    """§2.5 priority-queue variant: the SAME budgeted per-host window as
+    ``politeness_rank``, but ordered by a per-url PRIORITY score instead of
+    the BFS (depth, url) order — ``select_batch(order=...)``, the
+    north-star's "per-domain politeness-budget priority queue" with the
+    priority column supplied by the caller (here a deterministic Knuth-hash
+    score standing in for PageRank/OPIC; the real crawl would join
+    ``operators.pagerank`` output). Budget 5/host; ties broken on url so
+    the schedule stays replayable."""
+    from ..operators.politeness import select_batch
+
+    urls = (
+        _urls_df(spark, sf_dir)
+        .groupBy("url", "host")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    frontier = urls.select(
+        "url", "host", ((F.col("doc_id") * 2654435761) % 997).alias("score")
+    )
+    selected, _carry = select_batch(
+        frontier,
+        politeness=None,
+        default_budget=5,
+        order=[F.col("score").desc(), F.col("url").asc()],
+    )
+    return selected.select(
+        "host", "url", F.col("score").cast("long").alias("score")
+    )
+
+
+SQL_PRIORITY_SCHEDULE = f"""{ORACLE_URLS_CTE}
+, u AS (SELECT url, host, MIN(doc_id) AS doc_id FROM parsed GROUP BY url, host),
+scored AS (SELECT host, url, (doc_id * 2654435761) % 997 AS score FROM u)
+SELECT host, url, CAST(score AS BIGINT) AS score FROM (
+  SELECT host, url, score,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, url) AS rn
+  FROM scored
+) WHERE rn <= 5"""
+
+
 # query-stripped path fragment (branch 1 is the only one with a '?query'):
 # referenced by the final_url fragment instead of urlkit.url_path(url) so the
 # synthesized-url CASE is not inlined through a string-split expression —
@@ -1988,7 +2089,9 @@ _ORACLES = {
     "url_path_prefix_counts": SQL_URL_PATH_PREFIX,
     "frontier_dedup": SQL_FRONTIER_DEDUP,
     "politeness_rank": SQL_POLITENESS,
+    "priority_schedule": SQL_PRIORITY_SCHEDULE,
     "robots_gate": SQL_ROBOTS,
+    "robots_parse": SQL_ROBOTS_PARSE,
     "topk_recent_orders": SQL_TOPK_ORDERS,
     "pagination_orders": SQL_PAGINATION,
     "status_rollup": SQL_STATUS_ROLLUP,
@@ -2046,7 +2149,9 @@ _QUERIES = {
     "url_path_prefix_counts": q_url_path_prefix_counts,
     "frontier_dedup": q_frontier_dedup,
     "politeness_rank": q_politeness_rank,
+    "priority_schedule": q_priority_schedule,
     "robots_gate": q_robots_gate,
+    "robots_parse": q_robots_parse,
     "topk_recent_orders": q_topk_recent_orders,
     "pagination_orders": q_pagination_orders,
     "status_rollup": q_status_rollup,

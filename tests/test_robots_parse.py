@@ -1,0 +1,93 @@
+"""robots.txt body parser (reference line scan, apollo.py:260-264) and the
+priority-ordered politeness batch (select_batch's ``order`` parameter)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from apollo_service_spark.operators.politeness import select_batch
+from apollo_service_spark.operators.robots import parse_robots, parse_robots_py
+
+
+def _rules(spark, bodies):
+    df = spark.createDataFrame(bodies, "host string, body string")
+    rows = parse_robots(df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["host"], []).append(r["disallow_prefix"])
+    return {h: sorted(ps) for h, ps in out.items()}
+
+
+def test_parse_robots_edges(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /admin\n"
+        "Disallow:\n"              # empty prefix -> dropped
+        "disallow: /lower\n"       # wrong case -> ignored
+        "  Disallow: /indent\n"    # leading space -> ignored (exact startswith)
+        "Disallow: /a:b/c\n"       # split on FIRST colon only
+        "Disallow: /crlf\r\n"      # CRLF body: trailing \r stripped
+        "Disallow:/nospace\n"      # no space after colon: still a rule
+        "Allow: /public\n"
+        "Disallow: /admin\n"       # duplicate -> distinct
+        "Disallow:   \n"           # whitespace-only prefix -> dropped
+    )
+    got = _rules(spark, [("h.example.com", body)])
+    assert got == {
+        "h.example.com": sorted(["/admin", "/a:b/c", "/crlf", "/nospace"])
+    }
+    # the Python mirror of the reference loop agrees exactly
+    assert got["h.example.com"] == parse_robots_py(body)
+
+
+def test_parse_robots_fuzz_vs_reference_mirror(spark):
+    rng = random.Random(7)
+    frags = [
+        "Disallow: /p{}", "Disallow:/q{}", "Disallow: ", "Disallow:",
+        "disallow: /x{}", " Disallow: /y{}", "DISALLOW: /z{}",
+        "User-agent: bot{}", "Allow: /a{}", "# comment {}", "",
+        "Disallow: /col:on{}", "Disallow: /sp ace{}\r", "Sitemap: /s{}",
+    ]
+    bodies = []
+    for i in range(40):
+        lines = [rng.choice(frags).format(rng.randrange(5)) for _ in range(rng.randrange(1, 12))]
+        bodies.append((f"host{i % 6}.example.com", "\n".join(lines)))
+    got = _rules(spark, bodies)
+    want = {}
+    for host, body in bodies:
+        want.setdefault(host, set()).update(parse_robots_py(body))
+    want = {h: sorted(ps) for h, ps in want.items() if ps}
+    assert got == want
+
+
+def test_select_batch_priority_order(spark):
+    # one host, budget 2: the TOP-scored urls are selected, not the BFS head
+    rows = [
+        ("https://h/a", "h", 0, 10),
+        ("https://h/b", "h", 0, 30),
+        ("https://h/c", "h", 0, 20),
+        ("https://h/d", "h", 0, 30),  # score tie with /b -> url asc breaks it
+    ]
+    frontier = spark.createDataFrame(rows, "url string, host string, depth int, score int")
+    order = [F.col("score").desc(), F.col("url").asc()]
+    sel, carry = select_batch(frontier, None, default_budget=2, order=order)
+    assert sorted(r["url"] for r in sel.collect()) == ["https://h/b", "https://h/d"]
+    assert sorted(r["url"] for r in carry.collect()) == ["https://h/a", "https://h/c"]
+
+
+def test_select_batch_priority_pruned_path_identical(spark):
+    rng = random.Random(13)
+    rows = [
+        (f"https://h{i % 3}/p{i}", f"h{i % 3}", 0, rng.randrange(50))
+        for i in range(120)
+    ]
+    frontier = spark.createDataFrame(rows, "url string, host string, depth int, score int")
+    order = [F.col("score").desc(), F.col("url").asc()]
+    sel_plain, _ = select_batch(frontier, None, default_budget=4, order=order)
+    sel_pruned, carry_pruned = select_batch(
+        frontier, None, default_budget=4, order=order, prune_partitions=4
+    )
+    key = lambda r: (r["host"], r["url"])  # noqa: E731
+    assert sorted(map(key, sel_plain.collect())) == sorted(map(key, sel_pruned.collect()))
+    # nothing lost: selected + carryover partition the frontier
+    assert sel_pruned.count() + carry_pruned.count() == len(rows)
