@@ -115,6 +115,7 @@ class FrontierEngine:
         store: SnapshotStore,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        robots_bodies: DataFrame | None = None,
         politeness: DataFrame | None = None,
     ):
         self.spark = spark
@@ -134,6 +135,14 @@ class FrontierEngine:
         self.pages = pages.repartition(self.config.n_partitions, "url").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # robots rules arrive either pre-parsed (host, disallow_prefix) or
+        # as raw fetched bodies (host, body) — the latter run through the
+        # reference-exact line scan (robots_ops.parse_robots) first, i.e.
+        # /robots.txt is just another fetched page whose parse is part of
+        # the dataflow (apollo.py:239-264's fetch+cache, minus the network)
+        if robots_bodies is not None and self.config.respect_robots:
+            parsed = robots_ops.parse_robots(robots_bodies)
+            robots = parsed if robots is None else robots.unionByName(parsed)
         self.robots_agg = (
             robots_ops.aggregate_rules(robots)
             if (robots is not None and self.config.respect_robots)

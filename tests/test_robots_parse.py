@@ -60,6 +60,55 @@ def test_parse_robots_fuzz_vs_reference_mirror(spark):
     assert got == want
 
 
+def test_engine_robots_bodies_equivalent(spark, small_corpus_spark, tmp_path):
+    """FrontierEngine(robots_bodies=raw text) crawls identically to
+    FrontierEngine(robots=pre-parsed rules): the parse IS the rules."""
+    from apollo_service_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+        crawl_log_df,
+    )
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    rules = small_corpus_spark["robots"]
+    bodies = (
+        rules.groupBy("host")
+        .agg(F.sort_array(F.collect_list("disallow_prefix")).alias("ps"))
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.array_join(
+                    F.transform(F.col("ps"), lambda p: F.concat(F.lit("Disallow: "), p)),
+                    "\n",
+                ),
+                F.lit("\nAllow: /public"),
+            ).alias("body"),
+        )
+    )
+    cfg = CrawlConfig(max_iterations=3)
+
+    def run(robots=None, robots_bodies=None, name="x"):
+        store = SnapshotStore(str(tmp_path / name))
+        eng = FrontierEngine(
+            spark,
+            small_corpus_spark["pages"],
+            store,
+            cfg,
+            robots=robots,
+            robots_bodies=robots_bodies,
+            politeness=small_corpus_spark["politeness"],
+        )
+        eng.run(seeds=small_corpus_spark["seeds"])
+        log = crawl_log_df(spark, store)
+        return {
+            (r["url"], r["iteration"], r["rank"])
+            for r in log.select("url", "iteration", "rank").collect()
+        }
+
+    assert run(robots=rules, name="pre") == run(robots_bodies=bodies, name="raw")
+
+
 def test_select_batch_priority_order(spark):
     # one host, budget 2: the TOP-scored urls are selected, not the BFS head
     rows = [
