@@ -102,6 +102,31 @@ def select_batch(
     return selected, carryover
 
 
+def budgets_from_delays(
+    delays: DataFrame,
+    iteration_seconds: float,
+    max_budget: int | None = None,
+) -> DataFrame:
+    """(host, crawl_delay) → (host, budget) for :func:`select_batch`.
+
+    A superstep spanning ``iteration_seconds`` of wall time can politely
+    fetch ``floor(iteration_seconds / crawl_delay)`` urls from a host that
+    asks for ``crawl_delay`` seconds between requests. Clamped to ≥ 1 (a
+    delay longer than the superstep period degrades to one fetch per
+    superstep — starving a host forever isn't politeness, it's a hang) and
+    optionally to ``max_budget`` (the crawler's own per-host cap). Pure
+    column arithmetic on the tiny per-host dim — broadcast downstream like
+    any politeness table.
+    """
+    b = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(float(iteration_seconds)) / F.col("crawl_delay")),
+    )
+    if max_budget is not None:
+        b = F.least(b, F.lit(max_budget).cast("long"))
+    return delays.select("host", b.cast("int").alias("budget"))
+
+
 def rank_within_iteration(
     selected: DataFrame, n_partitions: int = 32, cleanup: list | None = None
 ) -> DataFrame:

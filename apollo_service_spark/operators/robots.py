@@ -54,6 +54,43 @@ def parse_robots(
     )
 
 
+def parse_crawl_delays(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Raw robots.txt bodies → ``(host, crawl_delay double)``.
+
+    ``Crawl-delay`` is the de-facto robots extension the reference ignores
+    entirely (apollo.py's scan only looks at ``Disallow:``); this engine
+    parses it so politeness budgets can come from the crawled site itself
+    (see :func:`..politeness.budgets_from_delays`). Contract (ours, since
+    no reference semantics exist — the public de-facto rules):
+
+    * the directive match is CASE-INSENSITIVE (real-world files use
+      ``Crawl-delay`` / ``crawl-delay`` / ``Crawl-Delay`` freely), unlike
+      the reference's deliberately exact ``Disallow:`` scan;
+    * the value is everything after the first colon (fixed at offset 12),
+      whitespace-trimmed, parsed with ``try_cast`` → non-numeric or ≤ 0
+      values are ignored, never an error;
+    * multiple valid values for a host collapse to the MINIMUM — the most
+      conservative (slowest) delay wins, the safe merge when a host's
+      bodies disagree across fetches.
+
+    All Catalyst: split/explode/filter/try_cast/groupBy-min — one shuffle
+    on ``host``, combinable map-side.
+    """
+    line = F.explode(F.split(F.col(body_col), "\n")).alias("line")
+    raw = F.regexp_replace(F.expr("substring(line, 13)"), r"^\s+|\s+$", "")
+    delay = raw.try_cast("double")
+    return (
+        bodies.select(F.col(host_col).alias("host"), line)
+        .filter(F.lower(F.col("line")).startswith("crawl-delay:"))
+        .select("host", delay.alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+        .groupBy("host")
+        .agg(F.min("d").alias("crawl_delay"))
+    )
+
+
 def parse_robots_py(body: str) -> list:
     """Python mirror of the reference loop (apollo.py:260-264) for tests."""
     out = []

@@ -320,6 +320,63 @@ SQL_ROBOTS_PARSE = f"""WITH bodies AS (
 SELECT DISTINCT host, disallow_prefix FROM rules WHERE disallow_prefix <> ''"""
 
 
+def q_crawl_delay_budgets(spark, sf_dir):
+    """Crawl-delay → politeness budgets: parse the de-facto robots
+    extension (case-insensitive directive, try_cast value, per-host MIN)
+    and derive per-host budgets for ``select_batch`` (floor(30 s period /
+    delay), clamped to [1, 20]) — the site's own rate request feeding the
+    scheduler. Bodies exercise the value edges: mixed-case directives, a
+    fractional delay, a non-numeric value (ignored), a missing line, and a
+    second always-valid delay so the MIN merge is live on every host."""
+    from ..operators.politeness import budgets_from_delays
+    from ..operators.robots import parse_crawl_delays
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line_edge = (
+        F.when(d % 5 == 0, F.lit("Crawl-delay: 2"))
+        .when(d % 5 == 1, F.lit("crawl-delay: 0.5"))
+        .when(d % 5 == 2, F.lit("Crawl-Delay: 10"))
+        .when(d % 5 == 3, F.lit("Crawl-delay: fast"))
+        .otherwise(F.lit("# no delay"))
+    )
+    line_num = F.concat(F.lit("Crawl-delay: "), (d % 13 + 1).cast("string"))
+    body = F.concat_ws(
+        "\n", F.lit("User-agent: *"), line_edge, line_num, F.lit("Disallow: /x")
+    )
+    bodies = docs.select(F.expr(HOST_SQL).alias("host"), body.alias("body"))
+    delays = parse_crawl_delays(bodies)
+    budgets = budgets_from_delays(delays, iteration_seconds=30.0, max_budget=20)
+    return delays.join(budgets, "host").select("host", "crawl_delay", "budget")
+
+
+SQL_CRAWL_DELAY_BUDGETS = f"""WITH bodies AS (
+  SELECT {HOST_SQL} AS host,
+         'User-agent: *' || chr(10)
+         || (CASE doc_id % 5
+               WHEN 0 THEN 'Crawl-delay: 2'
+               WHEN 1 THEN 'crawl-delay: 0.5'
+               WHEN 2 THEN 'Crawl-Delay: 10'
+               WHEN 3 THEN 'Crawl-delay: fast'
+               ELSE '# no delay' END) || chr(10)
+         || 'Crawl-delay: ' || CAST(doc_id % 13 + 1 AS STRING) || chr(10)
+         || 'Disallow: /x' AS body
+  FROM documents
+), lines AS (
+  SELECT host, unnest(string_split(body, chr(10))) AS line FROM bodies
+), vals AS (
+  SELECT host,
+         TRY_CAST(regexp_replace(substring(line, 13), '^\\s+|\\s+$', '', 'g') AS DOUBLE) AS d
+  FROM lines WHERE lower(line) LIKE 'crawl-delay:%'
+), delays AS (
+  SELECT host, MIN(d) AS crawl_delay FROM vals
+  WHERE d IS NOT NULL AND d > 0 GROUP BY host
+)
+SELECT host, crawl_delay,
+       CAST(LEAST(GREATEST(1, FLOOR(30.0 / crawl_delay)), 20) AS INTEGER) AS budget
+FROM delays"""
+
+
 def q_priority_schedule(spark, sf_dir):
     """§2.5 priority-queue variant: the SAME budgeted per-host window as
     ``politeness_rank``, but ordered by a per-url PRIORITY score instead of
@@ -2092,6 +2149,7 @@ _ORACLES = {
     "priority_schedule": SQL_PRIORITY_SCHEDULE,
     "robots_gate": SQL_ROBOTS,
     "robots_parse": SQL_ROBOTS_PARSE,
+    "crawl_delay_budgets": SQL_CRAWL_DELAY_BUDGETS,
     "topk_recent_orders": SQL_TOPK_ORDERS,
     "pagination_orders": SQL_PAGINATION,
     "status_rollup": SQL_STATUS_ROLLUP,
@@ -2152,6 +2210,7 @@ _QUERIES = {
     "priority_schedule": q_priority_schedule,
     "robots_gate": q_robots_gate,
     "robots_parse": q_robots_parse,
+    "crawl_delay_budgets": q_crawl_delay_budgets,
     "topk_recent_orders": q_topk_recent_orders,
     "pagination_orders": q_pagination_orders,
     "status_rollup": q_status_rollup,

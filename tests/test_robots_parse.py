@@ -60,6 +60,34 @@ def test_parse_robots_fuzz_vs_reference_mirror(spark):
     assert got == want
 
 
+def test_parse_crawl_delays_and_budgets(spark):
+    from apollo_service_spark.operators.politeness import budgets_from_delays
+    from apollo_service_spark.operators.robots import parse_crawl_delays
+
+    bodies = [
+        # mixed case + MIN merge: 10 and 2 -> 2
+        ("a.com", "User-agent: *\nCrawl-Delay: 10\ncrawl-delay: 2\nDisallow: /x"),
+        # fractional, surrounded by junk values that must be ignored
+        ("b.com", "Crawl-delay: fast\nCrawl-delay: 0.5\nCrawl-delay: -3\nCrawl-delay:"),
+        # no valid delay at all -> host absent
+        ("c.com", "User-agent: *\nDisallow: /y\nCrawl-delay: soon"),
+        # whitespace + CRLF value
+        ("d.com", "Crawl-delay:   40 \r\nAllow: /"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, body string")
+    delays = {r["host"]: r["crawl_delay"] for r in parse_crawl_delays(df).collect()}
+    assert delays == {"a.com": 2.0, "b.com": 0.5, "d.com": 40.0}
+
+    budgets = {
+        r["host"]: r["budget"]
+        for r in budgets_from_delays(
+            parse_crawl_delays(df), iteration_seconds=30.0, max_budget=20
+        ).collect()
+    }
+    # 30/2=15; 30/0.5=60 clamped to 20; 30/40<1 clamped up to 1
+    assert budgets == {"a.com": 15, "b.com": 20, "d.com": 1}
+
+
 def test_engine_robots_bodies_equivalent(spark, small_corpus_spark, tmp_path):
     """FrontierEngine(robots_bodies=raw text) crawls identically to
     FrontierEngine(robots=pre-parsed rules): the parse IS the rules."""
