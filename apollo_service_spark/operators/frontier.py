@@ -84,6 +84,12 @@ class CrawlConfig:
     # path (seed iterations, crawl tail). The cached layout is built lazily
     # by the first BIG superstep, where it amortizes against real work.
     small_batch_threshold: int = 10_000
+    # opt-in: when set (seconds of wall time one superstep represents) and
+    # robots_bodies were given WITHOUT an explicit politeness table, derive
+    # per-host budgets from the bodies' Crawl-delay directives
+    # (robots.parse_crawl_delays → politeness.budgets_from_delays, clamped
+    # to [1, default_budget]); hosts with no valid delay keep default_budget
+    delay_budget_seconds: float | None = None
 
 
 @dataclass
@@ -148,6 +154,16 @@ class FrontierEngine:
             if (robots is not None and self.config.respect_robots)
             else None
         )
+        if (
+            politeness is None
+            and robots_bodies is not None
+            and self.config.delay_budget_seconds is not None
+        ):
+            politeness = politeness_ops.budgets_from_delays(
+                robots_ops.parse_crawl_delays(robots_bodies),
+                self.config.delay_budget_seconds,
+                max_budget=self.config.default_budget,
+            )
         self.politeness = politeness
         if self.config.seen_backend == "partitioned":
             from .seen import PartitionedBloomSeenStore

@@ -137,6 +137,60 @@ def test_engine_robots_bodies_equivalent(spark, small_corpus_spark, tmp_path):
     assert run(robots=rules, name="pre") == run(robots_bodies=bodies, name="raw")
 
 
+def test_engine_delay_derived_budgets_equivalent(spark, small_corpus_spark, tmp_path):
+    """CrawlConfig.delay_budget_seconds + robots_bodies carrying Crawl-delay
+    crawls identically to the same budgets passed as an explicit politeness
+    table (hosts without a delay fall back to default_budget)."""
+    from apollo_service_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+        crawl_log_df,
+    )
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    hosts = [r["host"] for r in small_corpus_spark["pages"].select("host").distinct().collect()] \
+        if "host" in small_corpus_spark["pages"].columns else None
+    if hosts is None:
+        from apollo_service_spark.functions import urlkit
+
+        hosts = [
+            r["h"]
+            for r in small_corpus_spark["pages"]
+            .select(urlkit.url_host(F.col("url")).alias("h"))
+            .distinct()
+            .collect()
+        ]
+    hosts = sorted(hosts)
+    # delay 10 s on half the hosts -> budget floor(30/10)=3; rest default 4
+    delayed = hosts[: len(hosts) // 2]
+    bodies = spark.createDataFrame(
+        [(h, "User-agent: *\nCrawl-delay: 10\nDisallow: /never-matches-xyz") for h in delayed],
+        "host string, body string",
+    )
+    explicit = spark.createDataFrame([(h, 3) for h in delayed], "host string, budget int")
+    cfg_derived = CrawlConfig(max_iterations=4, default_budget=4, delay_budget_seconds=30.0)
+    cfg_explicit = CrawlConfig(max_iterations=4, default_budget=4)
+
+    def run(name, cfg, **kw):
+        store = SnapshotStore(str(tmp_path / name))
+        eng = FrontierEngine(
+            spark, small_corpus_spark["pages"], store, cfg, **kw
+        )
+        eng.run(seeds=small_corpus_spark["seeds"])
+        log = crawl_log_df(spark, store)
+        return {
+            (r["url"], r["iteration"], r["rank"])
+            for r in log.select("url", "iteration", "rank").collect()
+        }
+
+    got = run("derived", cfg_derived, robots_bodies=bodies)
+    want = run("explicit", cfg_explicit, politeness=explicit)
+    assert got == want
+    # the budget actually bit: an unthrottled crawl differs
+    unthrottled = run("free", cfg_explicit)
+    assert got != unthrottled
+
+
 def test_select_batch_priority_order(spark):
     # one host, budget 2: the TOP-scored urls are selected, not the BFS head
     rows = [
