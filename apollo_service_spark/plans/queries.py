@@ -320,6 +320,68 @@ SQL_ROBOTS_PARSE = f"""WITH bodies AS (
 SELECT DISTINCT host, disallow_prefix FROM rules WHERE disallow_prefix <> ''"""
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap discovery: ``<loc>`` extraction over synthesized urlset XML —
+    whitespace-trimmed, XML-entity-unescaped (``&amp;`` last so an
+    author-escaped ``&amp;lt;`` round-trips), non-http and empty locs
+    dropped, DISTINCT per host. Sub-sitemap ``.xml`` locs are kept (a
+    sitemapindex's children re-enter the fetch loop as ordinary urls)."""
+    from ..operators.sitemap import parse_sitemap_locs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.expr(HOST_SQL)
+    loc_page = F.concat(
+        F.lit("<loc>https://"), host, F.lit("/page"), d.cast("string"), F.lit("</loc>")
+    )
+    loc_ws = F.concat(
+        F.lit("<loc>\n  https://"), host, F.lit("/ws"), (d % 7).cast("string"), F.lit("  \n</loc>")
+    )
+    loc_ent = F.concat(
+        F.lit("<loc>https://"), host, F.lit("/q?a=1&amp;b="), (d % 5).cast("string"), F.lit("</loc>")
+    )
+    loc_edge = (
+        F.when(d % 3 == 0, F.concat(F.lit("<loc>ftp://"), host, F.lit("/skip</loc>")))
+        .when(d % 3 == 1, F.lit("<loc></loc>"))
+        .otherwise(
+            F.concat(F.lit("<loc>https://sub.example.com/map"), (d % 4).cast("string"), F.lit(".xml</loc>"))
+        )
+    )
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        loc_page, loc_ws, loc_ent, loc_edge,
+        F.lit("</urlset>"),
+    )
+    bodies = docs.select(host.alias("host"), body.alias("body"))
+    return parse_sitemap_locs(bodies)
+
+
+SQL_SITEMAP_EXTRACT = f"""WITH bodies AS (
+  SELECT {HOST_SQL} AS host,
+         '<?xml version="1.0"?><urlset>'
+         || '<loc>https://' || {HOST_SQL} || '/page' || CAST(doc_id AS STRING) || '</loc>'
+         || '<loc>' || chr(10) || '  https://' || {HOST_SQL} || '/ws' || CAST(doc_id % 7 AS STRING) || '  ' || chr(10) || '</loc>'
+         || '<loc>https://' || {HOST_SQL} || '/q?a=1&amp;b=' || CAST(doc_id % 5 AS STRING) || '</loc>'
+         || (CASE doc_id % 3
+               WHEN 0 THEN '<loc>ftp://' || {HOST_SQL} || '/skip</loc>'
+               WHEN 1 THEN '<loc></loc>'
+               ELSE '<loc>https://sub.example.com/map' || CAST(doc_id % 4 AS STRING) || '.xml</loc>' END)
+         || '</urlset>' AS body
+  FROM documents
+), locs AS (
+  SELECT host, unnest(regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)) AS raw
+  FROM bodies
+), urls AS (
+  SELECT host,
+         replace(replace(replace(replace(replace(
+           regexp_replace(raw, '^\\s+|\\s+$', '', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url
+  FROM locs
+)
+SELECT DISTINCT host, url FROM urls
+WHERE url LIKE 'http://%' OR url LIKE 'https://%'"""
+
+
 def q_crawl_delay_budgets(spark, sf_dir):
     """Crawl-delay → politeness budgets: parse the de-facto robots
     extension (case-insensitive directive, try_cast value, per-host MIN)
@@ -2150,6 +2212,7 @@ _ORACLES = {
     "robots_gate": SQL_ROBOTS,
     "robots_parse": SQL_ROBOTS_PARSE,
     "crawl_delay_budgets": SQL_CRAWL_DELAY_BUDGETS,
+    "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "topk_recent_orders": SQL_TOPK_ORDERS,
     "pagination_orders": SQL_PAGINATION,
     "status_rollup": SQL_STATUS_ROLLUP,
@@ -2211,6 +2274,7 @@ _QUERIES = {
     "robots_gate": q_robots_gate,
     "robots_parse": q_robots_parse,
     "crawl_delay_budgets": q_crawl_delay_budgets,
+    "sitemap_extract": q_sitemap_extract,
     "topk_recent_orders": q_topk_recent_orders,
     "pagination_orders": q_pagination_orders,
     "status_rollup": q_status_rollup,

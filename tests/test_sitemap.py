@@ -1,0 +1,84 @@
+"""Sitemap <loc> extraction (operators/sitemap.py)."""
+
+import random
+
+from apollo_service_spark.operators.sitemap import (
+    parse_sitemap_locs,
+    parse_sitemap_locs_py,
+)
+
+
+def _extract(spark, bodies):
+    df = spark.createDataFrame(bodies, "host string, body string")
+    out = {}
+    for r in parse_sitemap_locs(df).collect():
+        out.setdefault(r["host"], set()).add(r["url"])
+    return {h: sorted(us) for h, us in out.items()}
+
+
+def test_sitemap_edges(spark):
+    body = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        " <url><loc>https://h.com/a</loc><lastmod>2024-01-01</lastmod></url>\n"
+        " <url><loc>\n   https://h.com/spaced   \n</loc></url>\n"
+        " <url><loc>https://h.com/q?x=1&amp;y=2</loc></url>\n"
+        " <url><loc>https://h.com/esc&amp;lt;literal</loc></url>\n"  # -> /esc&lt;literal
+        " <url><loc>ftp://h.com/skip</loc></url>\n"
+        " <url><loc></loc></url>\n"
+        " <url><loc>relative/path</loc></url>\n"
+        " <url><loc>https://h.com/a</loc></url>\n"  # duplicate
+        "</urlset>"
+    )
+    got = _extract(spark, [("h.com", body)])
+    want = sorted(
+        [
+            "https://h.com/a",
+            "https://h.com/spaced",
+            "https://h.com/q?x=1&y=2",
+            "https://h.com/esc&lt;literal",
+        ]
+    )
+    assert got == {"h.com": want}
+    assert got["h.com"] == parse_sitemap_locs_py(body)
+
+
+def test_sitemapindex_locs_kept(spark):
+    body = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://h.com/sitemap-1.xml</loc></sitemap>"
+        "<sitemap><loc>https://h.com/sitemap-2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    got = _extract(spark, [("h.com", body)])
+    assert got == {
+        "h.com": ["https://h.com/sitemap-1.xml", "https://h.com/sitemap-2.xml"]
+    }
+
+
+def test_sitemap_fuzz_vs_mirror(spark):
+    rng = random.Random(11)
+    frags = [
+        "<loc>https://f{0}.com/p{1}</loc>",
+        "<loc>  https://f{0}.com/s{1} </loc>",
+        "<loc>http://f{0}.com/e&amp;{1}</loc>",
+        "<loc>gopher://f{0}.com/{1}</loc>",
+        "<loc></loc>",
+        "<lastmod>2024-0{1}-01</lastmod>",
+        "<loc>https://f{0}.com/&quot;q&quot;{1}</loc>",
+        "not xml at all {1}",
+        "<loc>https://f{0}.com/broken",  # unterminated -> no match
+    ]
+    bodies = []
+    for i in range(30):
+        parts = [
+            rng.choice(frags).format(i % 4, rng.randrange(9))
+            for _ in range(rng.randrange(1, 10))
+        ]
+        bodies.append((f"f{i % 4}.com", "<urlset>" + "".join(parts) + "</urlset>"))
+    got = _extract(spark, bodies)
+    want = {}
+    for host, body in bodies:
+        want.setdefault(host, set()).update(parse_sitemap_locs_py(body))
+    want = {h: sorted(us) for h, us in want.items() if us}
+    assert got == want
