@@ -91,6 +91,33 @@ def parse_crawl_delays(
     )
 
 
+def parse_sitemap_directives(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Raw robots.txt bodies → DISTINCT ``(host, sitemap_url)``.
+
+    ``Sitemap:`` is how sitemaps are discovered in practice (sitemaps.org
+    protocol; global in the file, not user-agent-scoped). Same de-facto
+    contract as :func:`parse_crawl_delays`: case-insensitive directive,
+    value = everything after the first colon (offset 8) whitespace-trimmed
+    — which preserves the ``https://`` in the value, since the split colon
+    is the directive's own — kept only when absolute http(s). Feeds
+    :func:`..sitemap.parse_sitemap_locs` via the ordinary fetch join.
+    """
+    line = F.explode(F.split(F.col(body_col), "\n")).alias("line")
+    url = F.regexp_replace(F.expr("substring(line, 9)"), r"^\s+|\s+$", "")
+    return (
+        bodies.select(F.col(host_col).alias("host"), line)
+        .filter(F.lower(F.col("line")).startswith("sitemap:"))
+        .select("host", url.alias("sitemap_url"))
+        .filter(
+            F.col("sitemap_url").startswith("http://")
+            | F.col("sitemap_url").startswith("https://")
+        )
+        .distinct()
+    )
+
+
 def parse_robots_py(body: str) -> list:
     """Python mirror of the reference loop (apollo.py:260-264) for tests."""
     out = []

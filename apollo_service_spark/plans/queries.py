@@ -382,6 +382,54 @@ SELECT DISTINCT host, url FROM urls
 WHERE url LIKE 'http://%' OR url LIKE 'https://%'"""
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """robots.txt ``Sitemap:`` directive discovery (case-insensitive
+    directive, first-colon split preserving the value's own ``https://``,
+    relative values dropped) — the standard path from a fetched robots body
+    to :func:`..operators.sitemap.parse_sitemap_locs` input."""
+    from ..operators.robots import parse_sitemap_directives
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.expr(HOST_SQL)
+    line_edge = (
+        F.when(d % 4 == 0, F.concat(F.lit("Sitemap: https://"), host, F.lit("/sitemap.xml")))
+        .when(d % 4 == 1, F.concat(F.lit("sitemap: https://"), host, F.lit("/s"), (d % 6).cast("string"), F.lit(".xml")))
+        .when(d % 4 == 2, F.concat(F.lit("SITEMAP:https://"), host, F.lit("/caps.xml")))
+        .otherwise(F.lit("Sitemap: /relative.xml"))
+    )
+    line_shared = F.concat(
+        F.lit("Sitemap: https://cdn.example.com/shared-"), (d % 3).cast("string"), F.lit(".xml")
+    )
+    body = F.concat_ws(
+        "\n", F.lit("User-agent: *"), line_edge, line_shared, F.lit("Disallow: /x")
+    )
+    bodies = docs.select(host.alias("host"), body.alias("body"))
+    return parse_sitemap_directives(bodies)
+
+
+SQL_ROBOTS_SITEMAPS = f"""WITH bodies AS (
+  SELECT {HOST_SQL} AS host,
+         'User-agent: *' || chr(10)
+         || (CASE doc_id % 4
+               WHEN 0 THEN 'Sitemap: https://' || {HOST_SQL} || '/sitemap.xml'
+               WHEN 1 THEN 'sitemap: https://' || {HOST_SQL} || '/s' || CAST(doc_id % 6 AS STRING) || '.xml'
+               WHEN 2 THEN 'SITEMAP:https://' || {HOST_SQL} || '/caps.xml'
+               ELSE 'Sitemap: /relative.xml' END) || chr(10)
+         || 'Sitemap: https://cdn.example.com/shared-' || CAST(doc_id % 3 AS STRING) || '.xml' || chr(10)
+         || 'Disallow: /x' AS body
+  FROM documents
+), lines AS (
+  SELECT host, unnest(string_split(body, chr(10))) AS line FROM bodies
+), vals AS (
+  SELECT host,
+         regexp_replace(substring(line, 9), '^\\s+|\\s+$', '', 'g') AS sitemap_url
+  FROM lines WHERE lower(line) LIKE 'sitemap:%'
+)
+SELECT DISTINCT host, sitemap_url FROM vals
+WHERE sitemap_url LIKE 'http://%' OR sitemap_url LIKE 'https://%'"""
+
+
 def q_crawl_delay_budgets(spark, sf_dir):
     """Crawl-delay → politeness budgets: parse the de-facto robots
     extension (case-insensitive directive, try_cast value, per-host MIN)
@@ -2213,6 +2261,7 @@ _ORACLES = {
     "robots_parse": SQL_ROBOTS_PARSE,
     "crawl_delay_budgets": SQL_CRAWL_DELAY_BUDGETS,
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
+    "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
     "topk_recent_orders": SQL_TOPK_ORDERS,
     "pagination_orders": SQL_PAGINATION,
     "status_rollup": SQL_STATUS_ROLLUP,
@@ -2275,6 +2324,7 @@ _QUERIES = {
     "robots_parse": q_robots_parse,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "sitemap_extract": q_sitemap_extract,
+    "robots_sitemaps": q_robots_sitemaps,
     "topk_recent_orders": q_topk_recent_orders,
     "pagination_orders": q_pagination_orders,
     "status_rollup": q_status_rollup,

@@ -137,6 +137,37 @@ def test_engine_robots_bodies_equivalent(spark, small_corpus_spark, tmp_path):
     assert run(robots=rules, name="pre") == run(robots_bodies=bodies, name="raw")
 
 
+def test_parse_sitemap_directives(spark):
+    from apollo_service_spark.operators.robots import parse_sitemap_directives
+
+    bodies = [
+        (
+            "a.com",
+            "User-agent: *\n"
+            "Sitemap: https://a.com/sitemap.xml\n"
+            "sitemap:https://a.com/lower.xml\n"
+            "SITEMAP:   https://a.com/caps.xml \r\n"
+            "Sitemap: /relative.xml\n"
+            "Sitemap:\n"
+            "Sitemap: https://a.com/sitemap.xml\n"  # duplicate
+            " Sitemap: https://a.com/indented.xml\n"  # leading space: lower().startswith fails
+            "Disallow: /x",
+        ),
+        ("b.com", "Disallow: /only"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, body string")
+    got = {}
+    for r in parse_sitemap_directives(df).collect():
+        got.setdefault(r["host"], set()).add(r["sitemap_url"])
+    assert got == {
+        "a.com": {
+            "https://a.com/sitemap.xml",
+            "https://a.com/lower.xml",
+            "https://a.com/caps.xml",
+        }
+    }
+
+
 def test_engine_delay_derived_budgets_equivalent(spark, small_corpus_spark, tmp_path):
     """CrawlConfig.delay_budget_seconds + robots_bodies carrying Crawl-delay
     crawls identically to the same budgets passed as an explicit politeness
