@@ -123,6 +123,7 @@ class FrontierEngine:
         robots: DataFrame | None = None,
         robots_bodies: DataFrame | None = None,
         politeness: DataFrame | None = None,
+        sitemap_bodies: DataFrame | None = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -165,6 +166,7 @@ class FrontierEngine:
                 max_budget=self.config.default_budget,
             )
         self.politeness = politeness
+        self.sitemap_bodies = sitemap_bodies
         if self.config.seen_backend == "partitioned":
             from .seen import PartitionedBloomSeenStore
 
@@ -181,6 +183,18 @@ class FrontierEngine:
     # ------------------------------------------------------------------ init
 
     def _init_frontier(self, seeds: DataFrame) -> DataFrame:
+        # sitemap-discovered urls join the caller's seeds at depth 0 — a
+        # sitemap IS a seed list the site publishes (sitemap.py); its urls
+        # go through the same canonicalize + dedup as any other seed, and a
+        # sitemapindex's .xml children simply 404 out of the fetch join the
+        # way any unknown url does (or resolve, if the pages table carries
+        # them, and get parsed on the next superstep)
+        if self.sitemap_bodies is not None:
+            from .sitemap import parse_sitemap_locs
+
+            seeds = seeds.select("url").unionByName(
+                parse_sitemap_locs(self.sitemap_bodies).select("url")
+            )
         canon = urlkit.canonicalize(F.col("url"))
         return (
             seeds.select(canon.alias("url"))

@@ -56,6 +56,56 @@ def test_sitemapindex_locs_kept(spark):
     }
 
 
+def test_engine_sitemap_seeding_equivalent(spark, small_corpus_spark, tmp_path):
+    """FrontierEngine(sitemap_bodies=…) crawls identically to passing the
+    sitemap's urls as explicit extra seeds — and differently from the
+    un-augmented seed list (the sitemap genuinely adds reach)."""
+    from pyspark.sql import functions as F
+
+    from apollo_service_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+        crawl_log_df,
+    )
+    from apollo_service_spark.sources.storage import SnapshotStore
+
+    # pick a few real page urls NOT reachable in 2 iterations from the seeds
+    # by just taking deep-ish urls from a different host than the seed's
+    seed_urls = {r["url"] for r in small_corpus_spark["seeds"].collect()}
+    extra = (
+        small_corpus_spark["pages"]
+        .select("url")
+        .filter(~F.col("url").isin(list(seed_urls)))
+        .orderBy(F.length("url").desc(), "url")
+        .limit(3)
+    )
+    extra_urls = [r["url"] for r in extra.collect()]
+    body = "<urlset>" + "".join(f"<loc>{u}</loc>" for u in extra_urls) + "</urlset>"
+    bodies = spark.createDataFrame(
+        [("site.example.com", body)], "host string, body string"
+    )
+    cfg = CrawlConfig(max_iterations=2)
+
+    def run(name, seeds, **kw):
+        store = SnapshotStore(str(tmp_path / name))
+        eng = FrontierEngine(spark, small_corpus_spark["pages"], store, cfg, **kw)
+        eng.run(seeds=seeds)
+        log = crawl_log_df(spark, store)
+        return {
+            (r["url"], r["iteration"], r["rank"])
+            for r in log.select("url", "iteration", "rank").collect()
+        }
+
+    explicit_seeds = small_corpus_spark["seeds"].select("url").unionByName(
+        extra.select("url")
+    )
+    got = run("sm", small_corpus_spark["seeds"], sitemap_bodies=bodies)
+    want = run("ex", explicit_seeds)
+    base = run("plain", small_corpus_spark["seeds"])
+    assert got == want
+    assert got != base
+
+
 def test_sitemap_fuzz_vs_mirror(spark):
     rng = random.Random(11)
     frags = [
