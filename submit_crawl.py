@@ -10,7 +10,8 @@ Cluster usage (north-rule deployment shape)::
         --pages s3://bucket/pages_table \
         --seeds s3://bucket/seeds_table \
         --store s3://bucket/crawl_state \
-        [--robots ...] [--politeness ...] \
+        [--robots ...] [--robots-bodies ...] [--sitemap-bodies ...] \
+        [--politeness ...] [--delay-budget-seconds S] \
         [--resume] [--max-iterations N] [--depth-limit N] \
         [--n-partitions 4096] [--default-budget 100]
 
@@ -37,8 +38,16 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pages")
     parser.add_argument("--seeds")
-    parser.add_argument("--robots")
+    parser.add_argument("--robots",
+                        help="pre-parsed rules table (host, disallow_prefix)")
+    parser.add_argument("--robots-bodies",
+                        help="raw robots.txt table (host, body); parsed in-engine")
+    parser.add_argument("--sitemap-bodies",
+                        help="sitemap XML table (host, body); locs join the seeds")
     parser.add_argument("--politeness")
+    parser.add_argument("--delay-budget-seconds", type=float, default=None,
+                        help="derive per-host budgets from robots Crawl-delay "
+                        "when no explicit politeness table is given")
     parser.add_argument("--store")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max-iterations", type=int, default=1000)
@@ -89,6 +98,7 @@ def main() -> None:
         default_budget=args.default_budget,
         n_partitions=n_partitions,
         max_iterations=args.max_iterations,
+        delay_budget_seconds=args.delay_budget_seconds,
     )
     engine = FrontierEngine(
         spark,
@@ -96,7 +106,13 @@ def main() -> None:
         SnapshotStore(args.store),
         config,
         robots=spark.read.parquet(args.robots) if args.robots else None,
+        robots_bodies=(
+            spark.read.parquet(args.robots_bodies) if args.robots_bodies else None
+        ),
         politeness=spark.read.parquet(args.politeness) if args.politeness else None,
+        sitemap_bodies=(
+            spark.read.parquet(args.sitemap_bodies) if args.sitemap_bodies else None
+        ),
     )
     seeds = spark.read.parquet(args.seeds) if args.seeds else None
     state = engine.run(seeds=seeds, resume=args.resume)
