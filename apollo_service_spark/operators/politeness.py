@@ -127,6 +127,39 @@ def budgets_from_delays(
     return delays.select("host", b.cast("int").alias("budget"))
 
 
+def budgets_from_error_rates(
+    log: DataFrame,
+    default_budget: int,
+    error_col: str = "is_error",
+    floor_budget: int = 1,
+) -> DataFrame:
+    """(host, is_error…) fetch-log rows → (host, budget): adaptive backoff.
+
+    A host answering errors gets a proportionally smaller next-iteration
+    budget — ``floor(default_budget · ok/total)``, floored at
+    ``floor_budget`` so a failing host keeps one probe per superstep and
+    recovers when it does (pure punishment-forever isn't politeness — see
+    the :func:`budgets_from_delays` clamp for the same reasoning). The
+    arithmetic is EXACT integer math (counts, then one integer division)
+    rather than a float error-rate: floating sums depend on reduction
+    order, and a last-ulp difference at a floor boundary would make two
+    runs — or the engine and its SQL oracle — disagree by a whole budget
+    unit. One combinable groupBy on ``host``; output is a broadcast-sized
+    dim for :func:`select_batch`, recomputed per superstep from the
+    previous iteration's crawl log.
+    """
+    db = int(default_budget)
+    agg = log.groupBy("host").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(error_col).cast("long")).alias("_e"),
+    )
+    b = F.greatest(
+        F.lit(int(floor_budget)).cast("long"),
+        F.expr(f"({db} * (_n - _e)) div _n"),
+    )
+    return agg.select("host", b.cast("int").alias("budget"))
+
+
 def rank_within_iteration(
     selected: DataFrame, n_partitions: int = 32, cleanup: list | None = None
 ) -> DataFrame:

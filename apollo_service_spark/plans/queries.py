@@ -487,6 +487,43 @@ SELECT host, crawl_delay,
 FROM delays"""
 
 
+def q_backoff_budgets(spark, sf_dir):
+    """Adaptive politeness backoff: per-host next-iteration budgets scaled
+    by the previous superstep's observed error rate —
+    ``greatest(1, (default · ok) div total)`` in exact integer arithmetic
+    (a float error-rate's reduction-order ulp could flip a floor boundary
+    between engines). Synthesis: each doc is one fetch; errors hit a
+    deterministic doc_id stripe so hosts carry different rates."""
+    from ..operators.politeness import budgets_from_error_rates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.expr(HOST_SQL).alias("host"),
+        ((d % 3 == 0) & ((d % 7).isin(2, 3))).cast("int").alias("is_error"),
+    )
+    budgets = budgets_from_error_rates(log, default_budget=8)
+    rates = log.groupBy("host").agg(
+        F.round(
+            F.sum(F.col("is_error").cast("long")).cast("double") / F.count("*"), 6
+        ).alias("err_rate")
+    )
+    return budgets.join(rates, "host").select("host", "budget", "err_rate")
+
+
+SQL_BACKOFF_BUDGETS = f"""WITH log AS (
+  SELECT {HOST_SQL} AS host,
+         CASE WHEN doc_id % 3 = 0 AND doc_id % 7 IN (2, 3) THEN 1 ELSE 0 END AS is_error
+  FROM documents
+), agg AS (
+  SELECT host, COUNT(*) AS n, SUM(is_error) AS e FROM log GROUP BY host
+)
+SELECT host,
+       CAST(GREATEST(1, (8 * (n - e)) // n) AS INTEGER) AS budget,
+       ROUND(CAST(e AS DOUBLE) / n, 6) AS err_rate
+FROM agg"""
+
+
 def q_priority_schedule(spark, sf_dir):
     """§2.5 priority-queue variant: the SAME budgeted per-host window as
     ``politeness_rank``, but ordered by a per-url PRIORITY score instead of
@@ -2257,6 +2294,7 @@ _ORACLES = {
     "frontier_dedup": SQL_FRONTIER_DEDUP,
     "politeness_rank": SQL_POLITENESS,
     "priority_schedule": SQL_PRIORITY_SCHEDULE,
+    "backoff_budgets": SQL_BACKOFF_BUDGETS,
     "robots_gate": SQL_ROBOTS,
     "robots_parse": SQL_ROBOTS_PARSE,
     "crawl_delay_budgets": SQL_CRAWL_DELAY_BUDGETS,
@@ -2320,6 +2358,7 @@ _QUERIES = {
     "frontier_dedup": q_frontier_dedup,
     "politeness_rank": q_politeness_rank,
     "priority_schedule": q_priority_schedule,
+    "backoff_budgets": q_backoff_budgets,
     "robots_gate": q_robots_gate,
     "robots_parse": q_robots_parse,
     "crawl_delay_budgets": q_crawl_delay_budgets,

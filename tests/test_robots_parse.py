@@ -222,6 +222,24 @@ def test_engine_delay_derived_budgets_equivalent(spark, small_corpus_spark, tmp_
     assert got != unthrottled
 
 
+def test_budgets_from_error_rates(spark):
+    from apollo_service_spark.operators.politeness import budgets_from_error_rates
+
+    rows = (
+        [("clean", 0)] * 4
+        + [("half", 0), ("half", 1), ("half", 0), ("half", 1)]
+        + [("dead", 1)] * 3
+        + [("third", 1), ("third", 0), ("third", 0)]
+    )
+    log = spark.createDataFrame(rows, "host string, is_error int")
+    got = {
+        r["host"]: r["budget"]
+        for r in budgets_from_error_rates(log, default_budget=8).collect()
+    }
+    # clean: 8*4//4=8; half: 8*2//4=4; dead: floor at 1; third: 8*2//3=5
+    assert got == {"clean": 8, "half": 4, "dead": 1, "third": 5}
+
+
 def test_select_batch_priority_order(spark):
     # one host, budget 2: the TOP-scored urls are selected, not the BFS head
     rows = [
