@@ -103,6 +103,37 @@ def test_politeness_window_single_shuffle(spark, documents):
     assert "Window" in plan
 
 
+def test_priority_window_partial_topk(spark, documents):
+    """A priority-ordered budget selection plans with WindowGroupLimit —
+    Spark's partial per-partition top-k that runs BEFORE the window's
+    exchange, so each map task ships at most budget rows per host instead
+    of the host's whole frontier slice (the planner-native analog of the
+    opt-in prune_partitions pre-pass). Guarded because the rank-limit
+    pushdown only fires when the row_number filter is recognizably
+    budget-shaped; a refactor that breaks the shape silently reverts to
+    shuffling every candidate row."""
+    from apollo_service_spark.operators.politeness import select_batch
+
+    frontier = documents.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")).alias("host"),
+        (F.col("doc_id") % 97).cast("int").alias("score"),
+    )
+    selected, _carry = select_batch(
+        frontier, None, default_budget=5,
+        order=[F.col("score").desc(), F.col("url").asc()],
+    )
+    import re
+
+    plan = _plan(selected)
+    limits = re.findall(r"^\(\d+\) WindowGroupLimit", plan, flags=re.MULTILINE)
+    # one partial (pre-exchange) + one final (post-exchange)
+    assert len(limits) == 2, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+    assert len(exchanges) == 1, plan
+
+
 def _frontier_df(documents):
     return documents.select(
         F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
