@@ -86,3 +86,68 @@ def global_row_number(
         .withColumn(rank_col, (F.col("_off") + F.col("_r")).cast("bigint"))
         .drop("_rpid", "_r", "_off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    sum_col: str = "running_sum",
+    n_partitions: int = 32,
+    cleanup: list | None = None,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Distributed prefix sum of ``value_col`` over the total order
+    ``order_cols`` — the running-sum twin of :func:`global_row_number`,
+    with the same three-step shape (range-partition → within-partition
+    window → broadcast per-partition offsets) and the same persisted-pid
+    determinism contract (see module doc; ``cleanup`` works identically).
+
+    ``inclusive=False`` (the default) sums the values STRICTLY BEFORE the
+    row in the total order — the "offset of this row" convention a
+    concat-and-chunk sequence packer needs (the first row gets 0).
+    ``inclusive=True`` gives the classic running total including the row.
+
+    Equivalent to ``SUM(v) OVER (ORDER BY cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND {1 PRECEDING | CURRENT ROW})`` but with NO
+    ``Exchange SinglePartition`` anywhere in the plan: a naive
+    ``Window.orderBy`` prefix sum funnels 100 TB of rows through one task.
+    The per-partition totals branch is a ≤``n_partitions``-row aggregate;
+    sums are carried as ``bigint`` (exact — the intended inputs are token
+    counts, not floats, so association order cannot change the result).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("_rpid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cleanup is not None:
+        cleanup.append(part)
+
+    totals = part.groupBy("_rpid").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("_tot")
+    )
+    a = totals.select(F.col("_rpid").alias("_apid"))
+    b = totals.select(F.col("_rpid").alias("_bpid"), "_tot")
+    offsets = (
+        a.join(F.broadcast(b), F.col("_bpid") < F.col("_apid"), "left")
+        .groupBy(F.col("_apid").alias("_rpid"))
+        .agg(F.coalesce(F.sum("_tot"), F.lit(0)).alias("_off"))
+    )
+
+    upper = 0 if inclusive else -1
+    win = (
+        Window.partitionBy("_rpid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast("bigint")).over(win), F.lit(0)
+    )
+    return (
+        part.withColumn("_ls", local)
+        .join(F.broadcast(offsets), "_rpid")
+        .withColumn(sum_col, (F.col("_off") + F.col("_ls")).cast("bigint"))
+        .drop("_rpid", "_ls", "_off")
+    )

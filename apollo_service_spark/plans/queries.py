@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import pii, sampling, textstats, urlkit
-from ..operators import dedup, similarity
+from ..operators import curation, dedup, similarity
 from ..operators.clustering import cluster_urls
 from ..sources.tables import load_table
 
@@ -2284,6 +2284,191 @@ r0 AS (SELECT nd.id, 1.0 / nc.n AS r FROM nodes nd CROSS JOIN ncount nc),
 SELECT id AS doc_id, ROUND(r, 6) AS rank FROM {prev}"""
 
 
+# --------------------------------------------------------------------------
+# Corpus-curation tier (operators/curation.py — public-literature stages a
+# training pipeline runs between crawl and tokenization)
+# --------------------------------------------------------------------------
+
+
+def q_domain_quota(spark, sf_dir):
+    """RefinedWeb-style per-domain document cap: ≤ 20 docs per `source`,
+    winners picked by md5 content-hash order (partition-independent — the
+    same docs survive at any cluster size).  One shuffle; the `rn <= 20`
+    rank-limit plans WindowGroupLimit so each map task ships only its
+    per-key top-20 (plan-guarded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.domain_quota(
+        docs.select("doc_id", "source"), key_col="source", quota=20
+    )
+
+
+SQL_DOMAIN_QUOTA = """WITH r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>') || 'quota'), 1, 6)) AS BIGINT) % 10000,
+      doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20"""
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line cleaning over the fixed-width word-lines the
+    `line_dedup` gate already verifies: keep lines with ≥3 words and no
+    blocklist phrase (the gate instantiates the blocklist with a token
+    present in the synthetic vocabulary so the drop path fires; the
+    punctuation rule is exercised by unit tests on literal text — the
+    synthetic corpus has none).  Byte-exact reassembled `text_clean` on
+    both engines.  Zero shuffles — pure per-row projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.line_filter(
+        docs,
+        words_per_line=3,
+        min_words=3,
+        blocklist=("customer",),
+        require_terminal_punct=False,
+        min_kept_lines=2,
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_C4_LINE_FILTER = """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), lines AS (
+  SELECT doc_id, i, array_to_string(w[i*3+1 : i*3+3], ' ') AS line
+  FROM words, unnest(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+  WHERE len(w) > 0
+), flt AS (
+  SELECT doc_id, i, line,
+    (len(string_split(line, ' ')) >= 3
+     AND NOT contains(lower(line), 'customer')) AS ok
+  FROM lines
+), per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY i) AS text_clean
+  FROM flt GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(n_lines, 0) AS n_lines,
+  COALESCE(n_kept, 0) AS n_kept,
+  COALESCE(text_clean, '') AS text_clean,
+  COALESCE(n_kept, 0) >= 2 AS keep
+FROM documents d LEFT JOIN per_doc USING (doc_id)"""
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Exact-substring-dedup detection stage (Lee et al. 2021) via
+    overlapping 4-word windows: per doc, the fraction of windows shared
+    verbatim with another doc; drop above 20% coverage.  Inverted-index
+    shape with 8-byte keys and map-side pre-combine (see
+    `curation.dup_span_stats`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dup_span_stats(
+        docs, gram_words=4, max_dup_frac=0.2
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_DUP_SPAN = """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i+1 : i+4], ' ') AS g
+  FROM words, unnest(range(len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+), nd AS (
+  SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g
+), per_doc AS (
+  SELECT grams.doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM grams JOIN nd USING (g) GROUP BY grams.doc_id)
+SELECT d.doc_id,
+  COALESCE(n_grams, 0) AS n_grams,
+  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+  ROUND(COALESCE(n_dup_grams / (n_grams * 1.0), 0.0), 4) AS dup_gram_frac,
+  COALESCE(n_dup_grams / (n_grams * 1.0), 0.0) <= 0.2 AS keep
+FROM documents d LEFT JOIN per_doc USING (doc_id)"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing assignment (seq_len=128): exact global
+    token prefix sums via the range-partitioned distributed prefix-sum
+    (no Exchange SinglePartition — plan-guarded), then each doc's chunk
+    span as pure arithmetic.  The oracle runs the naive single-window
+    SUM OVER — identical numbers, the plan is the difference."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, seq_len=128).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+SQL_PACK_SEQUENCES = """WITH t AS (
+  SELECT doc_id,
+    CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t)
+SELECT doc_id, n_tokens, tok_start,
+  CASE WHEN n_tokens > 0 THEN tok_start // 128 END AS chunk_first,
+  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 128 END AS chunk_last
+FROM c"""
+
+
+def q_url_blocklist(spark, sf_dir):
+    """RefinedWeb-style URL filtering over the synthesized URL corpus:
+    subdomain-suffix host blocklist + soft-keyword score (capped at 1 per
+    word), keep = unblocked and score ≤ 1.  Pure per-row boolean algebra,
+    zero shuffles."""
+    urls = _urls_df(spark, sf_dir)
+    return curation.host_blocklist_filter(
+        urls,
+        blocked_hosts=("ubl.com.pk",),
+        soft_words=("admin", "login", "deals"),
+        max_soft_score=1,
+    ).select("doc_id", "url", "host_blocked", "soft_score", "keep")
+
+
+SQL_URL_BLOCKLIST = f"""{ORACLE_URLS_CTE}
+SELECT doc_id, url,
+  (host = 'ubl.com.pk' OR suffix(host, '.ubl.com.pk')) AS host_blocked,
+  CAST((CASE WHEN contains(lower(url), 'admin') THEN 1 ELSE 0 END
+      + CASE WHEN contains(lower(url), 'login') THEN 1 ELSE 0 END
+      + CASE WHEN contains(lower(url), 'deals') THEN 1 ELSE 0 END) AS BIGINT) AS soft_score,
+  (NOT (host = 'ubl.com.pk' OR suffix(host, '.ubl.com.pk'))
+   AND (CASE WHEN contains(lower(url), 'admin') THEN 1 ELSE 0 END
+      + CASE WHEN contains(lower(url), 'login') THEN 1 ELSE 0 END
+      + CASE WHEN contains(lower(url), 'deals') THEN 1 ELSE 0 END) <= 1) AS keep
+FROM parsed"""
+
+
+def q_quality_tiers(spark, sf_dir):
+    """CCNet head/middle/tail tiers over the verified quality score: exact
+    global rank (distributed, no single-partition exchange) cut into
+    thirds with pinned floor arithmetic both engines run verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    return curation.quality_tiers(scored).withColumnRenamed("id", "doc_id")
+
+
+SQL_QUALITY_TIERS = f"""WITH q AS ({SQL_QUALITY}),
+r AS (
+  SELECT doc_id, quality,
+    CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM q)
+SELECT doc_id, quality, rank,
+  (rank - 1) * 3 // n AS tier,
+  CASE (rank - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       ELSE 'tail' END AS tier_label
+FROM r"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -2346,6 +2531,12 @@ _ORACLES = {
     "hash_split": SQL_HASH_SPLIT,
     "corpus_clean": _sql_corpus_clean(),
     "pagerank": _sql_pagerank(),
+    "domain_quota": SQL_DOMAIN_QUOTA,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "dup_span_stats": SQL_DUP_SPAN,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "url_blocklist": SQL_URL_BLOCKLIST,
+    "quality_tiers": SQL_QUALITY_TIERS,
 }
 
 _QUERIES = {
@@ -2415,6 +2606,12 @@ _QUERIES = {
     "hash_split": q_hash_split,
     "corpus_clean": q_corpus_clean,
     "pagerank": q_pagerank,
+    "domain_quota": q_domain_quota,
+    "c4_line_filter": q_c4_line_filter,
+    "dup_span_stats": q_dup_span_stats,
+    "pack_sequences": q_pack_sequences,
+    "url_blocklist": q_url_blocklist,
+    "quality_tiers": q_quality_tiers,
 }
 
 

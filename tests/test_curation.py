@@ -1,0 +1,239 @@
+"""Unit oracles for the corpus-curation tier (operators/curation.py).
+
+Each operator is checked against a hand-computed or brute-force oracle on
+literal data — the cross-engine DuckDB gate (scripts/verify_gate.py:
+domain_quota / c4_line_filter / dup_span_stats / pack_sequences /
+url_blocklist / quality_tiers) covers the sf0.01 corpus; these tests pin
+the semantics the gate corpus cannot exercise (terminal punctuation,
+newline mode, empty docs, partition independence, dot-boundary hosts).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from apollo_service_spark.operators import curation
+from apollo_service_spark.operators.ranking import global_running_sum
+
+
+def _md5_bucket(val, salt, n=10_000):
+    h = hashlib.md5((str(val) + salt).encode()).hexdigest()
+    return int(h[:6], 16) % n
+
+
+# ---------------------------------------------------------------- quota
+
+
+def test_domain_quota_respects_cap_and_is_deterministic(spark):
+    rows = [(i, f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.domain_quota(df, key_col="source", quota=5, salt="s")
+    got = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in got)
+    # winners = the 5 smallest (md5 bucket, id) per key — recompute by hand
+    kept = {(r.source, r.doc_id) for r in out.collect()}
+    for kdom in ("d0", "d1", "d2"):
+        ids = [i for i in range(60) if i % 3 == int(kdom[1])]
+        expect = sorted(ids, key=lambda i: (_md5_bucket(i, "s"), i))[:5]
+        assert {(kdom, i) for i in expect} == {
+            p for p in kept if p[0] == kdom
+        }
+    # partition-independent: same winners at a different parallelism
+    again = curation.domain_quota(
+        df.repartition(13), key_col="source", quota=5, salt="s"
+    )
+    assert {(r.source, r.doc_id) for r in again.collect()} == kept
+
+
+# ----------------------------------------------------------- line filter
+
+
+def test_line_filter_newline_mode_and_terminal_punct(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Good line one here.\nshort\nAnother good line here!\nno punct line here\ncontains javascript code."),
+            (2, "Only one good line here.\nx y"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in curation.line_filter(
+            docs,
+            words_per_line=None,
+            min_words=4,
+            blocklist=("javascript",),
+            require_terminal_punct=True,
+            min_kept_lines=2,
+        ).collect()
+    }
+    # doc 1: 5 lines; kept = the two punctuated ≥4-word non-js lines
+    assert out[1].n_lines == 5 and out[1].n_kept == 2
+    assert out[1].text_clean == "Good line one here.\nAnother good line here!"
+    assert out[1].keep is True
+    # doc 2: one qualifying line < min_kept_lines
+    assert out[2].n_kept == 1 and out[2].keep is False
+    # empty doc: no lines at all
+    assert out[3].n_lines == 0 and out[3].text_clean == "" and out[3].keep is False
+
+
+def test_line_filter_word_lines_match_hand_oracle(spark):
+    # 7 words → word-lines of 3: two full + one 1-word tail
+    docs = spark.createDataFrame(
+        [(1, "a b c d e bad g")], "doc_id long, text string"
+    )
+    row = curation.line_filter(
+        docs,
+        words_per_line=3,
+        min_words=3,
+        blocklist=("bad",),
+        require_terminal_punct=False,
+        min_kept_lines=1,
+    ).collect()[0]
+    # lines: "a b c" (kept), "d e bad" (blocked), "g" (too short)
+    assert row.n_lines == 3 and row.n_kept == 1
+    assert row.text_clean == "a b c" and row.keep is True
+
+
+# ------------------------------------------------------------- dup spans
+
+
+def test_dup_span_stats_brute_force(spark):
+    texts = {
+        1: "w x y z p q",          # shares the 4-gram "w x y z" with doc 2
+        2: "w x y z r s",
+        3: "unique words only here totally",
+        4: "ab",                    # < 4 words → no grams
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r.id: r
+        for r in curation.dup_span_stats(
+            docs, gram_words=4, max_dup_frac=0.4
+        ).collect()
+    }
+    # brute force: every doc's overlapping 4-gram multiset vs the others
+    grams = {
+        i: [
+            " ".join(t.split()[j : j + 4])
+            for j in range(len(t.split()) - 3)
+        ]
+        for i, t in texts.items()
+    }
+    for i, gl in grams.items():
+        dup = sum(
+            1
+            for g in gl
+            if any(g in go for k, go in grams.items() if k != i)
+        )
+        assert out[i].n_grams == len(gl)
+        assert out[i].n_dup_grams == dup
+        frac = dup / len(gl) if gl else 0.0
+        assert out[i].dup_gram_frac == pytest.approx(round(frac, 4))
+        assert out[i].keep == (frac <= 0.4)
+    assert out[4].n_grams == 0 and out[4].keep is True
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    rows = [(i, (i * 37) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.s
+        for r in global_running_sum(
+            df, ["id"], "v", sum_col="s", n_partitions=7
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for i, v in rows:
+        expect[i] = acc
+        acc += v
+    assert got == expect
+    # inclusive variant
+    got_inc = {
+        r.id: r.s
+        for r in global_running_sum(
+            df, ["id"], "v", sum_col="s", n_partitions=7, inclusive=True
+        ).collect()
+    }
+    assert got_inc == {i: expect[i] + v for i, v in rows}
+
+
+def test_pack_sequences_spans_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10)),   # tokens 0..9   → chunk 0
+            (2, ""),                      # zero tokens   → NULL span
+            (3, " ".join(["w"] * 5)),    # tokens 10..14 → chunk 0..1 with seq_len 12
+            (4, " ".join(["w"] * 30)),   # tokens 15..44 → chunks 1..3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r for r in curation.pack_sequences(docs, seq_len=12).collect()
+    }
+    assert (out[1].tok_start, out[1].chunk_first, out[1].chunk_last) == (0, 0, 0)
+    assert out[2].n_tokens == 0
+    assert out[2].chunk_first is None and out[2].chunk_last is None
+    assert (out[3].tok_start, out[3].chunk_first, out[3].chunk_last) == (10, 0, 1)
+    assert (out[4].tok_start, out[4].chunk_first, out[4].chunk_last) == (15, 1, 3)
+
+
+# -------------------------------------------------------------- blocklist
+
+
+def test_host_blocklist_dot_boundary_and_soft_cap(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.bad.com/x", "a.bad.com"),        # subdomain → blocked
+            (2, "https://bad.com/x", "bad.com"),            # exact → blocked
+            (3, "https://notbad.com/x", "notbad.com"),      # boundary → NOT blocked
+            (4, "https://ok.com/admin/login", "ok.com"),    # 2 soft words → dropped
+            (5, "https://ok.com/admin", "ok.com"),          # 1 soft word → kept
+        ],
+        "doc_id long, url string, host string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.host_blocklist_filter(
+            urls,
+            blocked_hosts=("bad.com",),
+            soft_words=("admin", "login"),
+            max_soft_score=1,
+        ).collect()
+    }
+    assert out[1].host_blocked is True and out[1].keep is False
+    assert out[2].host_blocked is True
+    assert out[3].host_blocked is False and out[3].keep is True
+    assert out[4].soft_score == 2 and out[4].keep is False
+    assert out[5].soft_score == 1 and out[5].keep is True
+
+
+# ------------------------------------------------------------ quality tiers
+
+
+def test_quality_tiers_exact_thirds_and_remainder_convention(spark):
+    # 8 rows → tier sizes 3/3/2 (leading tiers take the extra)
+    rows = [(i, float(10 - i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, quality double")
+    out = sorted(
+        curation.quality_tiers(df, n_partitions=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.id for r in out] == list(range(8))  # desc score = asc id here
+    assert [r.tier for r in out] == [0, 0, 0, 1, 1, 1, 2, 2]
+    assert [r.tier_label for r in out] == [
+        "head", "head", "head", "middle", "middle", "middle", "tail", "tail",
+    ]
+    # ties broken by id into a total order: equal scores keep stable ranks
+    tied = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)], "id long, quality double"
+    )
+    got = sorted(curation.quality_tiers(tied).collect(), key=lambda r: r.id)
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5, 6]

@@ -383,3 +383,55 @@ def test_corpus_clean_single_join(spark):
     n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE))
     assert n_joins <= 2, f"{n_joins} joins\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_domain_quota_partial_topk(spark, documents):
+    """The per-domain quota must plan WindowGroupLimit: each map task
+    forwards only its per-key top-quota candidates BEFORE the window
+    exchange, so a hot domain (the case the quota exists for) never ships
+    its whole document set to one reducer. Same rank-limit shape the
+    politeness budget guard pins; a refactor that hides the row_number
+    filter behind a non-budget-shaped predicate silently reverts to
+    shuffling every row."""
+    import re
+
+    from apollo_service_spark.operators.curation import domain_quota
+
+    out = domain_quota(documents.select("doc_id", "source"),
+                       key_col="source", quota=7)
+    plan = _plan(out)
+    limits = re.findall(r"^\(\d+\) WindowGroupLimit", plan, flags=re.MULTILINE)
+    assert len(limits) == 2, plan  # partial (pre-exchange) + final
+
+
+def test_pack_sequences_no_single_partition(spark, documents):
+    """The packing prefix sum must stay distributed: a naive
+    SUM() OVER (ORDER BY id) plans Exchange SinglePartition and funnels
+    the corpus token ledger through one task."""
+    from apollo_service_spark.operators.curation import pack_sequences
+
+    plan = _plan(pack_sequences(documents, seq_len=128))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_quality_tiers_no_single_partition(spark, documents):
+    """CCNet tier assignment ranks the whole corpus — the rank must come
+    from the range-partitioned global_row_number, not a global window."""
+    from apollo_service_spark.operators.curation import quality_tiers
+
+    scored = documents.select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") % 97).cast("double").alias("quality"),
+    )
+    plan = _plan(quality_tiers(scored))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_line_filter_zero_shuffle_no_python(spark, documents):
+    """C4 line cleaning is the cheapest stage in the stack and must stay
+    that way: pure per-row projection — no exchange, no Python eval."""
+    from apollo_service_spark.operators.curation import line_filter
+
+    plan = _plan(line_filter(documents))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
