@@ -296,6 +296,68 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    gram_words: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 App. C; Lee et al.
+    2021 §6): flag every training document that shares at least one
+    ``gram_words``-word window with the evaluation set, so eval examples
+    can be excluded from training rather than memorized.
+
+    Plan shape — the asymmetry is the whole design: the benchmark side is
+    tiny (10³–10⁶ examples) next to the corpus, so its DISTINCT gram-hash
+    set is built once and **broadcast**; every corpus gram probes that
+    broadcast map-side (a left join attaching a hit marker), and the only
+    exchange the corpus pays is ONE map-side-combinable reduce keyed by
+    the 8-byte doc id (count + hit-count in the same aggregate).  Guarded
+    in tests/test_plans.py.  At 100 TB this is a scan + broadcast probe:
+    the cost is reading the corpus, as it must be.
+
+    Windows are overlapping word ``gram_words``-grams hashed to 64 bits
+    (collision → one spurious flagged gram per ~2⁶⁴ pairs; a flagged doc
+    is re-checkable exactly downstream).  Docs shorter than ``gram_words``
+    words carry no windows and cannot be contaminated.
+
+    Output: ``(id, n_grams, n_hit_grams, contaminated)`` — one row per
+    input doc, ``n_hit_grams`` counting doc windows (with multiplicity)
+    that occur anywhere in the benchmark.
+    """
+    def gram_col(txt):
+        w = F.filter(F.split(F.col(txt), " "), lambda x: x != "")
+        return textstats.window_join(w, gram_words, stride=1, keep_partial=False)
+
+    bench = (
+        benchmark.select(F.explode(gram_col(bench_text_col)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    raw = docs.select(
+        F.col(id_col).alias("id"), F.explode(gram_col(text_col)).alias("g")
+    ).select("id", F.xxhash64("g").alias("h"))
+    marked = raw.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_grams"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    out = base.join(per_doc, "id", "left")
+    return out.select(
+        "id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit_grams"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def host_blocklist_filter(
     urls: DataFrame,
     blocked_hosts: tuple[str, ...],

@@ -2417,6 +2417,43 @@ SELECT doc_id, n_tokens, tok_start,
 FROM c"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: training docs (doc_id % 50
+    != 0) flagged when they share any 4-word window with the "benchmark"
+    docs (doc_id % 50 == 0).  Broadcast probe of the benchmark gram set +
+    one map-side-combinable reduce per doc — plan-guarded."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.decontaminate(
+        train, bench, gram_words=4
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_DECONTAMINATE = """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i+1 : i+4], ' ') AS g
+  FROM words, unnest(range(len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), per_doc AS (
+  SELECT grams.doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_grams
+  FROM grams LEFT JOIN bench USING (g)
+  WHERE grams.doc_id % 50 <> 0
+  GROUP BY grams.doc_id)
+SELECT d.doc_id,
+  COALESCE(n_grams, 0) AS n_grams,
+  COALESCE(n_hit_grams, 0) AS n_hit_grams,
+  COALESCE(n_hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.doc_id % 50 <> 0"""
+
+
 def q_url_blocklist(spark, sf_dir):
     """RefinedWeb-style URL filtering over the synthesized URL corpus:
     subdomain-suffix host blocklist + soft-keyword score (capped at 1 per
@@ -2537,6 +2574,7 @@ _ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "quality_tiers": SQL_QUALITY_TIERS,
+    "decontaminate": SQL_DECONTAMINATE,
 }
 
 _QUERIES = {
@@ -2612,6 +2650,7 @@ _QUERIES = {
     "pack_sequences": q_pack_sequences,
     "url_blocklist": q_url_blocklist,
     "quality_tiers": q_quality_tiers,
+    "decontaminate": q_decontaminate,
 }
 
 

@@ -53,6 +53,15 @@ HEADLINE = [
     # rotation pipeline (BENCH/WINNOW.md) — tracked so the last former
     # Python hot spot stays measured per round
     "winnow_neardup",
+    # added r5 (late): the corpus-curation tier — per-domain quota, C4
+    # line cleaning, duplicated-span coverage, packing prefix sums,
+    # benchmark decontamination, CCNet quality tiers (operators/curation.py)
+    "domain_quota",
+    "c4_line_filter",
+    "dup_span_stats",
+    "pack_sequences",
+    "decontaminate",
+    "quality_tiers",
 ]
 
 

@@ -237,3 +237,37 @@ def test_quality_tiers_exact_thirds_and_remainder_convention(spark):
     )
     got = sorted(curation.quality_tiers(tied).collect(), key=lambda r: r.id)
     assert [r.rank for r in got] == [1, 2, 3, 4, 5, 6]
+
+
+# -------------------------------------------------------------- decontam
+
+
+def test_decontaminate_brute_force(spark):
+    train = {
+        1: "a b c d e f",        # shares "c d e f" with bench doc
+        2: "p q r s t",          # clean
+        3: "x y",                # too short for any 4-gram
+    }
+    bench_texts = ["zz c d e f yy", "unrelated bench words here"]
+    docs = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(t,) for t in bench_texts], "text string"
+    )
+    out = {
+        r.id: r
+        for r in curation.decontaminate(docs, bench, gram_words=4).collect()
+    }
+    bgrams = set()
+    for t in bench_texts:
+        w = t.split()
+        bgrams.update(" ".join(w[j : j + 4]) for j in range(len(w) - 3))
+    for i, t in train.items():
+        w = t.split()
+        grams = [" ".join(w[j : j + 4]) for j in range(len(w) - 3)]
+        hits = sum(1 for g in grams if g in bgrams)
+        assert out[i].n_grams == len(grams)
+        assert out[i].n_hit_grams == hits
+        assert out[i].contaminated == (hits > 0)
+    assert out[1].contaminated is True
+    assert out[2].contaminated is False
+    assert out[3].n_grams == 0 and out[3].contaminated is False

@@ -435,3 +435,21 @@ def test_line_filter_zero_shuffle_no_python(spark, documents):
     plan = _plan(line_filter(documents))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcast_probe_single_corpus_shuffle(spark, documents):
+    """The corpus side of decontamination must probe the benchmark gram
+    set via a broadcast hash join (never a shuffled join — the benchmark
+    is the small side by construction) and pay only the per-doc count
+    reduce; a planner regression to SortMergeJoin would shuffle every
+    corpus gram."""
+    import re
+
+    from apollo_service_spark.operators.curation import decontaminate
+
+    train = documents.filter(F.col("doc_id") % 50 != 0)
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(decontaminate(train, bench, gram_words=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
