@@ -2506,6 +2506,121 @@ SELECT doc_id, quality, rank,
 FROM r"""
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """The end-to-end training-data manifest — every curation stage this
+    engine implements, composed in the order a production pipeline runs
+    them, ending in the exact (split, sequence-chunk) assignment a
+    tokenizer shard consumes:
+
+    1. content filters (``corpus_clean``: lang + quality + Gopher
+       repetition + CCNet line-dedup),
+    2. duplicated-span coverage ≤ 20% (``dup_span_stats``),
+    3. benchmark exclusion + decontamination (``decontaminate``: eval
+       docs out, training docs sharing a 4-gram with them out),
+    4. per-source quota ≤ 20 (``domain_quota``),
+    5. deterministic train/valid/test split (``hash_split`` arithmetic),
+    6. concat-and-chunk packing over the SURVIVORS in doc_id order
+       (``pack_sequences``) — chunk ids shift as upstream filters change,
+       which is why packing must run last.
+
+    Every stage is the same operator its standalone gate query verifies;
+    the oracle recomposes the same SQL fragments.  Plan-wise the scalars
+    still ride single scans per stage; the stage boundaries are joins on
+    the 8-byte doc id, the quota window, and the range-partitioned prefix
+    sum — nothing here collects to the driver.
+
+    Scale note on the TESTDATA corpus specifically: the synthetic
+    generator draws from a ~40-word vocabulary, so line/gram duplication
+    SATURATES as the corpus grows — at sf0.1 nearly every 3-word line is
+    shared corpus-wide and ``corpus_clean`` keeps ~0 docs (both engines
+    agree; the sf0.01 gate sees the calibrated 241/500).  Real web text
+    does not saturate this way; the thresholds here are the published
+    ones (CCNet 0.3, Lee-style 0.2).  The bench timing at sf0.1 still
+    exercises every upstream stage at full volume.
+    """
+    clean = q_corpus_clean(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_clean")
+    )
+    spans = q_dup_span_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_spans")
+    )
+    decon = q_decontaminate(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.join(clean, "doc_id")
+        .join(spans, "doc_id")
+        .join(decon, "doc_id")  # inner: benchmark docs (% 50 == 0) drop out
+        .filter(
+            F.col("keep_clean") & F.col("keep_spans") & ~F.col("contaminated")
+        )
+    )
+    quota = curation.domain_quota(
+        survivors.select("doc_id", "source", "text"),
+        key_col="source",
+        quota=20,
+    )
+    packed = curation.pack_sequences(quota, seq_len=128).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return (
+        quota.select(
+            "doc_id",
+            "source",
+            sampling.split_label(
+                "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="r4"
+            ).alias("split"),
+        )
+        .join(packed, "doc_id")
+        .select(
+            "doc_id", "source", "split", "n_tokens",
+            "tok_start", "chunk_first", "chunk_last",
+        )
+    )
+
+
+def _sql_corpus_prepare() -> str:
+    return f"""WITH clean AS ({_sql_corpus_clean()}),
+spans AS ({SQL_DUP_SPAN}),
+decon AS ({SQL_DECONTAMINATE}),
+survivors AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN clean ON clean.doc_id = d.doc_id
+  JOIN spans ON spans.doc_id = d.doc_id
+  JOIN decon ON decon.doc_id = d.doc_id
+  WHERE clean.keep AND spans.keep AND NOT decon.contaminated
+), quota AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>') || 'quota'), 1, 6)) AS BIGINT) % 10000,
+        doc_id) AS rn
+    FROM survivors) WHERE rn <= 20
+), toks AS (
+  SELECT doc_id, source,
+    CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM quota
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM toks
+), split AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>') || 'r4'), 1, 6)) AS BIGINT) % 10000 AS bucket
+  FROM quota)
+SELECT p.doc_id, p.source,
+  CASE WHEN s.bucket < 9000 THEN 'train'
+       WHEN s.bucket < 9500 THEN 'valid'
+       ELSE 'test' END AS split,
+  p.n_tokens, p.tok_start,
+  CASE WHEN p.n_tokens > 0 THEN p.tok_start // 128 END AS chunk_first,
+  CASE WHEN p.n_tokens > 0 THEN (p.tok_start + p.n_tokens - 1) // 128 END AS chunk_last
+FROM packed p JOIN split s USING (doc_id)"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -2575,6 +2690,7 @@ _ORACLES = {
     "url_blocklist": SQL_URL_BLOCKLIST,
     "quality_tiers": SQL_QUALITY_TIERS,
     "decontaminate": SQL_DECONTAMINATE,
+    "corpus_prepare": _sql_corpus_prepare(),
 }
 
 _QUERIES = {
@@ -2651,6 +2767,7 @@ _QUERIES = {
     "url_blocklist": q_url_blocklist,
     "quality_tiers": q_quality_tiers,
     "decontaminate": q_decontaminate,
+    "corpus_prepare": q_corpus_prepare,
 }
 
 

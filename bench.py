@@ -62,6 +62,9 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate",
     "quality_tiers",
+    # the end-to-end manifest: clean -> span-dedup -> decontaminate ->
+    # quota -> split -> pack, composed exactly as a production run would
+    "corpus_prepare",
 ]
 
 
