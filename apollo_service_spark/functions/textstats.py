@@ -115,6 +115,83 @@ def quality_score(text: Column) -> Column:
     return (length_ok + punct_ok + word_ok) / F.lit(3.0)
 
 
+# Gopher's document-quality stop-word set (Rae et al. 2021, App. A1.1 —
+# distinct from the language-ID lists above: the rule asks for ≥ 2 of THESE
+# eight to occur, as a crude "is this running English prose" check).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length arithmetic — identical
+    in Spark and DuckDB (both `replace` leftmost-non-overlapping), unlike
+    regex counting whose engines differ on zero-width/overlap edges."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def gopher_quality_flags(text: Column) -> dict:
+    """The Gopher document-quality rule set (Rae et al. 2021, App. A1.1),
+    each rule as a named boolean column — all pure Catalyst expressions on
+    one projection, zero shuffles, zero Python:
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (# + ellipsis occurrences) / words ≤ 0.1
+    - ``ok_bullet_lines``: < 90% of lines start with a bullet ("•"/"- ")
+    - ``ok_ellipsis_lines``: ≤ 30% of lines end with "..." / "…"
+    - ``ok_alpha_words``: ≥ 80% of words contain an alphabetic character
+    - ``ok_stop_words``: ≥ 2 distinct Gopher stop words occur as words
+
+    The paper states the bullet rule as "90% of lines starting with a
+    bullet point" being the DROP condition.  0-denominator ratios are
+    defined as 0 here (the paper leaves them unstated): an empty doc then
+    fails ``ok_word_count`` and ``ok_alpha_words`` (0 < 0.8) and passes
+    the ≤-threshold ratio rules vacuously — pinned in
+    tests/test_curation.py.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks)
+    words_d = n_words.cast("double")
+    mwl = mean_word_length(text)
+    symbols = (
+        _occurrences(text, "#")
+        + _occurrences(text, "...")
+        + _occurrences(text, "…")
+    )
+    sym_ratio = F.when(n_words > 0, symbols / words_d).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("•") | l.startswith("- "))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_frac = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / words_d).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    return {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "ok_symbol_ratio": sym_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac < 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stop_words": stop_hits >= 2,
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -296,6 +296,84 @@ def pack_sequences(
     )
 
 
+def dup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_words: int = 4,
+) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2021 §4 proper — the stage
+    :func:`dup_span_stats` only detects): delete from each document every
+    word covered by a ``gram_words``-word window that occurs MORE THAN
+    ONCE in the whole corpus (across documents or repeated within one —
+    Lee et al. count both, so this does too, unlike ``dup_span_stats``'s
+    cross-document-only fraction), and re-assemble the surviving words in
+    order.
+
+    Lee et al. build a corpus-wide suffix array — exact but single-node.
+    The distributed surrogate: fixed-width gram positions → global
+    occurrence counts (one 8-byte-key shuffle with map-side combine) →
+    join the duplicated grams back to their positions (second shuffle,
+    same key) → expand each duplicated window to its covered word
+    positions → subtract from the word list and re-join the text.  It
+    removes exactly the windows a suffix array would flag at length
+    ``gram_words`` words; runs longer than the window are covered by
+    their overlapping windows, so contiguous duplicated regions are
+    removed in full.
+
+    Shuffle budget: two exchanges on gram hashes + one per-doc
+    reassembly reduce.  The reassembly carries one row per SURVIVING word
+    into a ``sort_array(collect_list(struct(pos, word)))`` — bounded per
+    doc by document length, the same shape any distributed text-rewrite
+    pays; there is no driver-side collection anywhere.
+
+    Output: ``(id, n_words, n_removed, text_clean)`` — one row per input
+    doc; docs shorter than ``gram_words`` words pass through unchanged.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("id"), w.alias("w"))
+    grams = textstats.window_join(
+        F.col("w"), gram_words, stride=1, keep_partial=False
+    )
+    # (id, start position, gram hash) for every overlapping window
+    pos_grams = base.select(
+        "id", F.posexplode(grams).alias("pos", "g")
+    ).select("id", "pos", F.xxhash64("g").alias("h"))
+    counts = pos_grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_windows = pos_grams.join(
+        counts.filter(F.col("cnt") > 1), "h"
+    ).select("id", "pos")
+    covered = dup_windows.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (gram_words - 1))
+        ).alias("wp"),
+    ).distinct()
+    words = base.select(
+        "id", F.posexplode(F.col("w")).alias("wp", "word")
+    )
+    kept = words.join(covered, ["id", "wp"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("wp", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = base.select("id", F.size("w").cast("bigint").alias("n_words"))
+    out = totals.join(rebuilt, "id", "left")
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    return out.select(
+        "id",
+        "n_words",
+        (F.col("n_words") - n_kept).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

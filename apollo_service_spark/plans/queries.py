@@ -2390,6 +2390,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Lee-et-al exact-substring removal proper: every word covered by a
+    4-word window occurring more than once corpus-wide (cross-doc or
+    within-doc) is deleted; the cleaned text is reassembled byte-exactly
+    on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dup_span_removal(docs, gram_words=4).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+SQL_DUP_SPAN_REMOVAL = """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i, array_to_string(w[i+1 : i+4], ' ') AS g
+  FROM words, unnest(range(len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+), cnt AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+), covered AS (
+  SELECT DISTINCT grams.doc_id, t.wp
+  FROM grams JOIN cnt USING (g), unnest(range(grams.i, grams.i + 4)) AS t(wp)
+), toks AS (
+  SELECT doc_id, i AS wp, w[i+1] AS word
+  FROM words, unnest(range(len(w))) AS t(i)
+), kept AS (
+  SELECT toks.doc_id,
+    CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(toks.word, ' ' ORDER BY toks.wp) AS text_clean
+  FROM toks LEFT JOIN covered
+    ON covered.doc_id = toks.doc_id AND covered.wp = toks.wp
+  WHERE covered.wp IS NULL
+  GROUP BY toks.doc_id)
+SELECT w.doc_id,
+  CAST(len(w.w) AS BIGINT) AS n_words,
+  CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(k.text_clean, '') AS text_clean
+FROM words w LEFT JOIN kept k USING (doc_id)"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing assignment (seq_len=128): exact global
     token prefix sums via the range-partitioned distributed prefix-sum
@@ -2504,6 +2545,61 @@ SELECT doc_id, quality, rank,
   CASE (rank - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
        ELSE 'tail' END AS tier_label
 FROM r"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The full Gopher document-quality rule set (Rae et al. 2021 App.
+    A1.1) as seven named boolean rules + the conjunction — one projection,
+    zero shuffles (`textstats.gopher_quality_flags`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(F.col("text"))
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOP_WORDS)
+
+SQL_GOPHER_QUALITY = f"""WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, lines,
+    len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x))) / (len(toks) * 1.0)
+         ELSE 0.0 END AS mwl,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS symbols,
+    len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) AS bullet_lines,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(toks), [{_GOPHER_STOPS_SQL}])) AS stop_hits
+  FROM t)
+SELECT doc_id,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+  (CASE WHEN n_words > 0 THEN symbols / (n_words * 1.0) ELSE 0.0 END) <= 0.1 AS ok_symbol_ratio,
+  (CASE WHEN len(lines) > 0 THEN bullet_lines / (len(lines) * 1.0) ELSE 0.0 END) < 0.9 AS ok_bullet_lines,
+  (CASE WHEN len(lines) > 0 THEN ellipsis_lines / (len(lines) * 1.0) ELSE 0.0 END) <= 0.3 AS ok_ellipsis_lines,
+  (CASE WHEN n_words > 0 THEN alpha_words / (n_words * 1.0) ELSE 0.0 END) >= 0.8 AS ok_alpha_words,
+  (stop_hits >= 2) AS ok_stop_words,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mwl >= 3.0 AND mwl <= 10.0)
+   AND (CASE WHEN n_words > 0 THEN symbols / (n_words * 1.0) ELSE 0.0 END) <= 0.1
+   AND (CASE WHEN len(lines) > 0 THEN bullet_lines / (len(lines) * 1.0) ELSE 0.0 END) < 0.9
+   AND (CASE WHEN len(lines) > 0 THEN ellipsis_lines / (len(lines) * 1.0) ELSE 0.0 END) <= 0.3
+   AND (CASE WHEN n_words > 0 THEN alpha_words / (n_words * 1.0) ELSE 0.0 END) >= 0.8
+   AND (stop_hits >= 2)) AS keep
+FROM m"""
 
 
 def q_corpus_prepare(spark, sf_dir):
@@ -2691,6 +2787,8 @@ _ORACLES = {
     "quality_tiers": SQL_QUALITY_TIERS,
     "decontaminate": SQL_DECONTAMINATE,
     "corpus_prepare": _sql_corpus_prepare(),
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }
 
 _QUERIES = {
@@ -2768,6 +2866,8 @@ _QUERIES = {
     "quality_tiers": q_quality_tiers,
     "decontaminate": q_decontaminate,
     "corpus_prepare": q_corpus_prepare,
+    "dup_span_removal": q_dup_span_removal,
+    "gopher_quality": q_gopher_quality,
 }
 
 

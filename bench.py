@@ -62,6 +62,8 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate",
     "quality_tiers",
+    "dup_span_removal",
+    "gopher_quality",
     # the end-to-end manifest: clean -> span-dedup -> decontaminate ->
     # quota -> split -> pack, composed exactly as a production run would
     "corpus_prepare",

@@ -271,3 +271,76 @@ def test_decontaminate_brute_force(spark):
     assert out[1].contaminated is True
     assert out[2].contaminated is False
     assert out[3].n_grams == 0 and out[3].contaminated is False
+
+
+def test_dup_span_removal_brute_force(spark):
+    texts = {
+        1: "a b c d x y",       # "a b c d" repeated in doc 2 → words 0-3 removed
+        2: "p a b c d q",       # covered words 1-4 removed
+        3: "r r r r r r r r",   # self-repeat: every window duplicated → all removed
+        4: "u v w",             # < 4 words: untouched
+        5: "m n o p2 q2 r2",    # unique: untouched
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in curation.dup_span_removal(docs, gram_words=4).collect()
+    }
+    # brute force on the definition: window duplicated iff its 4-gram string
+    # occurs >1 time across ALL docs (incl. within-doc repeats)
+    from collections import Counter
+
+    occ = Counter()
+    for t in texts.values():
+        w = t.split()
+        for j in range(len(w) - 3):
+            occ[" ".join(w[j : j + 4])] += 1
+    for i, t in texts.items():
+        w = t.split()
+        covered = set()
+        for j in range(len(w) - 3):
+            if occ[" ".join(w[j : j + 4])] > 1:
+                covered.update(range(j, j + 4))
+        kept = [x for j, x in enumerate(w) if j not in covered]
+        assert out[i].n_words == len(w)
+        assert out[i].n_removed == len(covered)
+        assert out[i].text_clean == " ".join(kept)
+    assert out[3].n_removed == 8 and out[3].text_clean == ""
+    assert out[4].text_clean == "u v w"
+
+
+# ---------------------------------------------------------- gopher rules
+
+
+def test_gopher_quality_flags_literal_cases(spark):
+    from apollo_service_spark.functions.textstats import gopher_quality_flags
+
+    good = "the data be good and " + " ".join(f"w{i}" for i in range(50))
+    bullets = "\n".join(["• item one here"] * 9 + ["plain line"])
+    dots = "\n".join(["trailing line..."] * 4 + ["clean line"] * 6)
+    symbols = "the and " + "# " * 20 + " ".join(f"w{i}" for i in range(50))
+    numeric = "the and " + " ".join(str(i) for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, numeric), (6, "")],
+        "doc_id long, text string",
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert out[1].ok_word_count and out[1].ok_stop_words and out[1].ok_alpha_words
+    # 9/10 bullet lines -> bullet_frac 0.9, NOT < 0.9 -> fails
+    assert out[2].ok_bullet_lines is False
+    # 4/10 ellipsis lines -> 0.4 > 0.3 -> fails
+    assert out[3].ok_ellipsis_lines is False
+    # 20 '#' over 72 words -> ratio > 0.1 -> fails
+    assert out[4].ok_symbol_ratio is False
+    # 60 of 62 words purely numeric -> alpha frac < 0.8 -> fails
+    assert out[5].ok_alpha_words is False
+    assert out[5].ok_stop_words is True  # 'the' and 'and' both occur
+    # empty doc: word count fails, ratio rules pass vacuously (0-denominators)
+    assert out[6].ok_word_count is False
+    assert out[6].ok_symbol_ratio is True and out[6].ok_alpha_words is False
