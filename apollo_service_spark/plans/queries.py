@@ -2431,6 +2431,23 @@ SELECT w.doc_id,
 FROM words w LEFT JOIN kept k USING (doc_id)"""
 
 
+# persisted intermediates from the PREVIOUS invocation of each curation
+# gate query, released at the start of the next one (cluster_greedy's
+# deferred-cleanup pattern: the caller's action is the only
+# materialization, the cached frame stays valid until it runs, and
+# accumulation is bounded at one invocation's frames per query)
+_PACK_DEFERRED: list = []
+_TIERS_DEFERRED: list = []
+_PREPARE_DEFERRED: list = []
+
+
+def _drain(deferred: list) -> list:
+    for frame in deferred:
+        frame.unpersist()
+    deferred.clear()
+    return deferred
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing assignment (seq_len=128): exact global
     token prefix sums via the range-partitioned distributed prefix-sum
@@ -2438,9 +2455,9 @@ def q_pack_sequences(spark, sf_dir):
     span as pure arithmetic.  The oracle runs the naive single-window
     SUM OVER — identical numbers, the plan is the difference."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.pack_sequences(docs, seq_len=128).withColumnRenamed(
-        "id", "doc_id"
-    )
+    return curation.pack_sequences(
+        docs, seq_len=128, cleanup=_drain(_PACK_DEFERRED)
+    ).withColumnRenamed("id", "doc_id")
 
 
 SQL_PACK_SEQUENCES = """WITH t AS (
@@ -2531,7 +2548,9 @@ def q_quality_tiers(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
     )
-    return curation.quality_tiers(scored).withColumnRenamed("id", "doc_id")
+    return curation.quality_tiers(
+        scored, cleanup=_drain(_TIERS_DEFERRED)
+    ).withColumnRenamed("id", "doc_id")
 
 
 SQL_QUALITY_TIERS = f"""WITH q AS ({SQL_QUALITY}),
@@ -2637,13 +2656,23 @@ def q_corpus_prepare(spark, sf_dir):
     clean = q_corpus_clean(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_clean")
     )
+    # Span coverage and decontamination stay as SEPARATE pipelined
+    # branches, deliberately: a fused single-gram-pass variant exists
+    # (curation.span_contamination_fused — one explode + one persisted
+    # (h, id) frame serving all three consumers) and was A/B-measured
+    # against this composition at sf0.1 with full materialization: the
+    # fusion LOST ~1.7x (10-12 s vs 6.5 s warm) — the cache
+    # materialization barrier plus the AQE restrictions on cached plans
+    # cost more than re-exploding these short (30-60 word) docs saves.
+    # On long-document corpora, where tokenize+explode dominates the
+    # scan, the trade reverses; the fused operator is kept available and
+    # plan-guarded for that regime.
     spans = q_dup_span_stats(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_spans")
     )
-    decon = q_decontaminate(spark, sf_dir).select(
-        "doc_id", "contaminated"
-    )
+    decon = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
     docs = load_table(spark, sf_dir, "documents")
+    cleanup = _drain(_PREPARE_DEFERRED)
     survivors = (
         docs.join(clean, "doc_id")
         .join(spans, "doc_id")
@@ -2657,9 +2686,9 @@ def q_corpus_prepare(spark, sf_dir):
         key_col="source",
         quota=20,
     )
-    packed = curation.pack_sequences(quota, seq_len=128).withColumnRenamed(
-        "id", "doc_id"
-    )
+    packed = curation.pack_sequences(
+        quota, seq_len=128, cleanup=cleanup
+    ).withColumnRenamed("id", "doc_id")
     return (
         quota.select(
             "doc_id",

@@ -344,3 +344,40 @@ def test_gopher_quality_flags_literal_cases(spark):
     # empty doc: word count fails, ratio rules pass vacuously (0-denominators)
     assert out[6].ok_word_count is False
     assert out[6].ok_symbol_ratio is True and out[6].ok_alpha_words is False
+
+
+def test_span_contamination_fused_equals_composition(spark):
+    """The fused single-gram-pass operator must produce EXACTLY the
+    composed dup_span_stats + decontaminate verdicts (same thresholds,
+    train docs only)."""
+    import os
+
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    bench_pred = F.col("doc_id") % 50 == 0
+    cleanup = []
+    fused = {
+        r.id: (r.keep_spans, r.contaminated)
+        for r in curation.span_contamination_fused(
+            docs, bench_pred, gram_words=4, max_dup_frac=0.2, cleanup=cleanup
+        ).collect()
+    }
+    spans = {
+        r.id: r.keep
+        for r in curation.dup_span_stats(
+            docs, gram_words=4, max_dup_frac=0.2
+        ).collect()
+    }
+    decon = {
+        r.id: r.contaminated
+        for r in curation.decontaminate(
+            docs.filter(~bench_pred), docs.filter(bench_pred), gram_words=4
+        ).collect()
+    }
+    assert set(fused) == set(decon)  # train docs only
+    for i, (ks, cont) in fused.items():
+        assert ks == spans[i], f"doc {i} spans"
+        assert cont == decon[i], f"doc {i} contamination"
+    for frame in cleanup:
+        frame.unpersist()

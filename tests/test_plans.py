@@ -453,3 +453,43 @@ def test_decontaminate_broadcast_probe_single_corpus_shuffle(spark, documents):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_span_contamination_fused_single_explode(spark, documents):
+    """The fused span+decontamination operator must explode grams ONCE and
+    serve all three consumers (distinct-doc counts, benchmark gram set,
+    per-doc reduce) from the persisted pre-combined frame: exactly one
+    Generate, at least three InMemoryTableScans of the shared cache. An
+    unpersisted lazy frame silently un-fuses — Catalyst clones the
+    multiply-consumed subtree into independent explodes (verified: three
+    Generates, with the benchmark copy column-pruned differently so even
+    runtime exchange reuse cannot dedupe it)."""
+    import re
+
+    from apollo_service_spark.operators.curation import span_contamination_fused
+
+    cleanup = []
+    out = span_contamination_fused(
+        documents, F.col("doc_id") % 50 == 0, cleanup=cleanup
+    )
+    plan = _plan(out)
+    n_generate = len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE))
+    n_cached = len(
+        re.findall(r"^\(\d+\) InMemoryTableScan", plan, flags=re.MULTILINE)
+    )
+    assert n_generate == 1, f"{n_generate} Generates\n{plan}"
+    assert n_cached >= 3, f"{n_cached} cache scans\n{plan}"
+    for frame in cleanup:
+        frame.unpersist()
+
+
+def test_corpus_prepare_no_single_partition(spark):
+    """The end-to-end manifest composes every curation stage and must stay
+    fully distributed: the packing prefix sum and quota window ride the
+    range-partition/WindowGroupLimit machinery, never a single-partition
+    exchange. (Spans + decontamination stay UNFUSED here by measurement —
+    see q_corpus_prepare's comment; the fused variant is guarded above.)"""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["corpus_prepare"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
