@@ -1,13 +1,19 @@
 """Text-analysis column expressions for large-scale training-data pipelines.
 
-All JVM-side Catalyst expressions (no Python in the hot path): language-ID
+JVM-side Catalyst expressions (no Python in the hot path): language-ID
 heuristic, quality scoring, token counting, and document fingerprinting over
-a ``documents``-shaped table (doc_id, text, lang, source, n_chars).
+a ``documents``-shaped table (doc_id, text, lang, source, n_chars).  One
+exception by measurement: the repetition scalars also exist as a pure-Python
+twin (``repetition_stats_py``, wrapped by ``udfs.repetition_stats_udf``)
+because the interpreted higher-order-function folds are 4× slower at corpus
+scale — the Catalyst forms stay as the semantic oracle and the Python-free
+fallback (BENCH/ROUND5.md).
 """
 
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -394,3 +400,48 @@ def word_char_count(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, w: acc + F.length(w).cast("bigint"),
     )
+
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
+# Unicode-aware.  The kernel below must reproduce F.split(text, r"\s+")
+# exactly, so it spells the Java class out instead of using \s.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def repetition_stats_py(text) -> tuple:
+    """Pure-Python twin of the Catalyst repetition scalars — EXACTLY
+    ``(word_char_count, top_run(sort(2-grams)).cnt, .g,
+    dup_run_chars(sort(3-grams), 3))`` per doc, for the Arrow-vectorized
+    path (`udfs.repetition_stats_udf`).  Semantics pinned to the column
+    expressions (equality property-tested in tests/test_textstats.py):
+
+    - tokenization: Java ``\\s+`` (ASCII whitespace only — see _JAVA_WS),
+      empty tokens dropped, case preserved;
+    - grams joined with a single space (``concat_ws``);
+    - top gram: max count, ties to the smallest gram — Python str order is
+      code-point order, which equals UTF-8 byte order (Spark's UTF8String
+      comparison), so the tie-break matches;
+    - lengths are code points (``len`` ≡ ``F.length``);
+    - null text → ``(null, 0, null, 0)``: ``word_char_count`` folds the
+      null token array to null, but ``window_join`` coalesces its null
+      gram array to EMPTY, so ``top_run`` yields ``(0, null)`` and
+      ``dup_run_chars`` folds to 0 — asymmetric on purpose, to match.
+
+    A Counter replaces the sort+run-scan: multiset counts are what the
+    run lengths of a sorted array ARE, so no sort is needed here at all —
+    this is why the kernel wins (O(n) dict passes vs the interpreted
+    fold; see BENCH/ROUND5.md's negative-result section for the two
+    Catalyst rewrites that lost)."""
+    if text is None:
+        return (None, 0, None, 0)
+    toks = [t for t in _JAVA_WS.split(text) if t]
+    wchars = sum(map(len, toks))
+    c2 = Counter(map(" ".join, zip(toks, toks[1:])))
+    if c2:
+        top_cnt = max(c2.values())
+        top_g = min(g for g, c in c2.items() if c == top_cnt)
+    else:
+        top_cnt, top_g = 0, None
+    c3 = Counter(map(" ".join, zip(toks, toks[1:], toks[2:])))
+    dupchars = sum((c - 1) * (len(g) - 2) for g, c in c3.items() if c > 1)
+    return (wchars, top_cnt, top_g, dupchars)

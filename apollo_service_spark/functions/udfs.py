@@ -1,13 +1,17 @@
 """Arrow-vectorized pandas UDFs — the only Python in the hot path.
 
-Two genuinely non-SQL-expressible kernels cross the Arrow boundary
-(everything else in the engine is a Catalyst column expression):
+Three kernels cross the Arrow boundary (everything else in the engine is a
+Catalyst column expression):
 
 * ``extract_text_udf``  — HTML→markdown extraction, semantics of the
   reference extractor (`scraper.py:211-292`), byte-identical per row with the
   in-repo oracle because both call ``functions.html.extract_text``.
 * ``extract_links_udf`` — a[href] link extraction + urljoin + fragment strip
   (`apollo.py:359-371`), returning array<string> that callers ``explode``.
+* ``repetition_stats_udf`` — the Gopher repetition scalars; SQL-expressible
+  (the Catalyst folds exist and are the oracle) but measured 4× slower than
+  this Counter kernel at corpus scale, so the Arrow form is the default
+  (plans/queries.py ``REPETITION_IMPL``; BENCH/ROUND5.md).
 
 Batch sizing is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 (set in ``session.build_session``); the per-row functions are pure so the
@@ -19,10 +23,11 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, StringType, StructField, StructType,
+    ArrayType, LongType, StringType, StructField, StructType,
 )
 
 from .html import extract_links, extract_text, extract_text_only
+from .textstats import repetition_stats_py
 
 
 @F.pandas_udf(StringType())
@@ -96,4 +101,37 @@ def extract_canonical_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Seri
         ],
         index=html.index,
         dtype=object,
+    )
+
+
+_REPETITION_SCHEMA = StructType(
+    [
+        StructField("wchars", LongType()),
+        StructField("top_cnt", LongType()),
+        StructField("top_g", StringType()),
+        StructField("dupchars", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_REPETITION_SCHEMA)
+def repetition_stats_udf(text: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized repetition scalars — the Counter-based twin of the
+    Catalyst ``word_char_count``/``top_run``/``dup_run_chars`` folds
+    (semantics pinned in ``textstats.repetition_stats_py``; equality
+    property-tested).  Exists because the interpreted higher-order-function
+    fold is the measured bottleneck of the cleaning stack at corpus scale
+    (~1.2k docs/s/core vs 7.5k–16k for every other stage), and both
+    Catalyst rewrites LOST (BENCH/ROUND5.md) — this is the winnow
+    precedent: when the expression evaluator is the limit, cross the Arrow
+    boundary once with a pure per-row kernel."""
+    rows = text.map(repetition_stats_py)
+    return pd.DataFrame(
+        {
+            "wchars": rows.map(lambda r: r[0]),
+            "top_cnt": rows.map(lambda r: r[1]),
+            "top_g": rows.map(lambda r: r[2]),
+            "dupchars": rows.map(lambda r: r[3]),
+        },
+        index=text.index,
     )

@@ -1301,15 +1301,17 @@ def q_repetition_stats(spark, sf_dir):
     (top-2-gram <= 0.20, dup-3-gram <= 0.30, applied to the rounded values
     so the oracle comparison is exact).
 
-    Plan shape: ZERO shuffles — every statistic is per-doc, so the gram
-    arrays are built JVM-side, ``array_sort``-ed (equal grams become
-    adjacent), and the top-run / duplicated-run-mass scans run as linear
-    ``aggregate`` expressions inside one projection
-    (``functions/textstats.py`` ``top_run``/``dup_run_chars``).  Scales:
-    at corpus scale this costs exactly one pass over the scan with no
+    Plan shape: ZERO shuffles — every statistic is per-doc, so the whole
+    query is one scan plus one ArrowEvalPython projection
+    (``udfs.repetition_stats_udf``, the Counter kernel; semantics pinned
+    to the Catalyst folds ``top_run``/``dup_run_chars`` by property test).
+    The Arrow kernel is the measured default — the interpreted
+    higher-order-function folds were the cleaning stack's slowest stage
+    (~4× slower end-to-end at 400k docs) and both pure-Catalyst rewrites
+    lost; see ``REPETITION_IMPL`` and BENCH/ROUND5.md.  Scales: no
     exchange at all (the earlier explode+double-groupBy shape shuffled
     ~2 string rows per word, twice); the worst skew is one pathological
-    doc, which costs its own O(W log W) sort in its own task either way."""
+    doc, which costs its own O(W) Counter pass in its own task."""
     docs = load_table(spark, sf_dir, "documents")
     return _with_repetition_stats(docs.select("doc_id", "text")).drop("text")
 
@@ -1329,11 +1331,38 @@ def _repetition_raw_cols() -> list:
     ]
 
 
-def _with_repetition_stats(docs: "DataFrame") -> "DataFrame":
+# Which engine computes the repetition raw scalars: "catalyst" (the
+# higher-order-function folds) or "arrow" (udfs.repetition_stats_udf, the
+# Counter kernel).  Hash-identical (property-tested).  Arrow is the
+# measured default: 400k 60-word docs on 32 cores, noop-materialized,
+# interleaved runs — catalyst [5.48..8.44] s vs arrow [1.38..1.82] s
+# (~4× end-to-end; the folds were the cleaning stack's slowest stage and
+# both pure-Catalyst rewrites lost, BENCH/ROUND5.md).  The catalyst form
+# is kept for pipelines that must stay Python-free.
+REPETITION_IMPL = "arrow"
+
+
+def _with_repetition_stats(docs: "DataFrame", impl: str | None = None) -> "DataFrame":
     """Append ``top_bigram_frac`` / ``dup_trigram_frac`` / ``keep`` to a
     frame carrying ``text`` — two stacked projections (raw scalars, then
-    fracs) so each raw scalar is evaluated once, zero shuffles."""
-    staged = docs.select("*", *_repetition_raw_cols())
+    fracs) so each raw scalar is evaluated once, zero shuffles either way
+    (the arrow path adds one ArrowEvalPython node, no exchange)."""
+    if (impl or REPETITION_IMPL) == "arrow":
+        from ..functions.udfs import repetition_stats_udf
+
+        staged = docs.select(
+            "*", repetition_stats_udf(F.col("text")).alias("_rep")
+        ).select(
+            "*",
+            F.col("_rep.wchars").alias("wchars"),
+            F.struct(
+                F.col("_rep.top_cnt").alias("cnt"),
+                F.col("_rep.top_g").alias("g"),
+            ).alias("top"),
+            F.col("_rep.dupchars").alias("dupchars"),
+        ).drop("_rep")
+    else:
+        staged = docs.select("*", *_repetition_raw_cols())
     top_frac = F.round(
         F.coalesce(
             F.col("top.cnt")

@@ -356,16 +356,33 @@ def test_line_dedup_no_expand_and_bounded_exchanges(spark):
 
 
 def test_repetition_stats_zero_exchange(spark):
-    """Repetition stats are per-doc scalars: the sorted-gram run-length
-    rewrite keeps them inside ONE codegen'd projection — any Exchange,
-    Expand, or Python eval here means the explode+groupBy shape crept
-    back (it shuffled ~2 string rows per word, twice)."""
+    """Repetition stats are per-doc scalars: any Exchange or Expand here
+    means the explode+groupBy shape crept back (it shuffled ~2 string rows
+    per word, twice).  The per-doc compute is ONE ArrowEvalPython node —
+    the Counter kernel, the measured default over the Catalyst folds
+    (REPETITION_IMPL; BENCH/ROUND5.md) — and never row-at-a-time Python."""
     import __spark_entry__ as em
+
+    import re
 
     plan = _plan(em.queries()["repetition_stats"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Expand" not in plan and "Generate" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.MULTILINE))
+    assert n_arrow == 1, f"{n_arrow} ArrowEvalPython nodes\n{plan}"
+
+
+def test_repetition_stats_catalyst_variant_pure_jvm(spark):
+    """The retained impl="catalyst" path must stay entirely JVM-side —
+    it exists precisely for pipelines that must run Python-free."""
+    from apollo_service_spark.plans.queries import _with_repetition_stats
+    from apollo_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = _plan(_with_repetition_stats(docs, impl="catalyst").drop("text"))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_corpus_clean_single_join(spark):
@@ -382,7 +399,11 @@ def test_corpus_clean_single_join(spark):
     # details; count the numbered details headers only
     n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE))
     assert n_joins <= 2, f"{n_joins} joins\n{plan}"
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the ONLY Python is the repetition Counter kernel, riding the single
+    # document scan exactly once; row-at-a-time Python never
+    assert "BatchEvalPython" not in plan, plan
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.MULTILINE))
+    assert n_arrow == 1, f"{n_arrow} ArrowEvalPython nodes\n{plan}"
 
 
 def test_domain_quota_partial_topk(spark, documents):

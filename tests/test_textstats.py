@@ -168,3 +168,67 @@ def test_run_length_folds_match_brute_force(spark):
             assert out[i]["top"]["cnt"] == 0 and out[i]["top"]["g"] is None
         expect_dup = sum((c - 1) * (len(g) - 1) for g, c in counts.items() if c > 1)
         assert out[i]["dup"] == expect_dup, (i, grams)
+
+
+def test_arrow_repetition_kernel_matches_catalyst(spark):
+    """The Counter kernel (udfs.repetition_stats_udf) must reproduce the
+    Catalyst folds EXACTLY — wchars, top.cnt, top.g, dupchars per doc —
+    including the adversarial corners: Java-vs-Python whitespace dialects
+    (\\x0b splits in both; NBSP splits in NEITHER because Java's \\s is
+    ASCII-only and the kernel spells that class out), repeated-gram
+    argmax ties (lexicographically smallest wins), empty and null text
+    (null → wchars null but top (0, null) / dupchars 0, because
+    window_join coalesces its null gram array to empty)."""
+    import random
+
+    from apollo_service_spark.plans.queries import _with_repetition_stats
+
+    rng = random.Random(20260819)
+    vocab = ["aa", "bb", "cc", "dd", "ü", "ee ee"]  # embedded space via join
+    cases = [
+        "",
+        " ",
+        "one",
+        "a b a b a b",
+        "x y z",          # NBSP is NOT whitespace in either engine
+        "p\x0bq\tr\ns  t",     # every ASCII whitespace flavor splits
+        None,
+    ] + [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 30))) for _ in range(40)
+    ]
+    from apollo_service_spark.functions.udfs import repetition_stats_udf
+    from apollo_service_spark.plans.queries import _repetition_raw_cols
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id int, text string"
+    )
+    cat_raw = {
+        r[0]: tuple(r[1:])
+        for r in docs.select("doc_id", *_repetition_raw_cols())
+        .select("doc_id", "wchars", "top.cnt", "top.g", "dupchars")
+        .collect()
+    }
+    arr_raw = {
+        r[0]: (r[1]["wchars"], r[1]["top_cnt"], r[1]["top_g"], r[1]["dupchars"])
+        for r in docs.select(
+            "doc_id", repetition_stats_udf(F.col("text")).alias("rep")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        assert cat_raw[i] == arr_raw[i], (i, t, cat_raw[i], arr_raw[i])
+
+    # and the derived fracs + keep flag through the shared staging helper
+    out_cols = ["doc_id", "top_bigram_frac", "dup_trigram_frac", "keep"]
+    cat = {
+        r[0]: tuple(r[1:])
+        for r in _with_repetition_stats(docs, impl="catalyst")
+        .select(*out_cols)
+        .collect()
+    }
+    arr = {
+        r[0]: tuple(r[1:])
+        for r in _with_repetition_stats(docs, impl="arrow")
+        .select(*out_cols)
+        .collect()
+    }
+    assert cat == arr
