@@ -251,7 +251,9 @@ def main():
     ).count()
     for name in HEADLINE:
         # warm with the SAME action the timed pass uses (noop write) so the
-        # codegen compiled here is the codegen the timed run executes
+        # codegen compiled here is the codegen the timed run executes; the
+        # heavy keys get a SECOND warm immediately before their timed run
+        # (below) because warmth decays across the suite
         registry[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -260,6 +262,20 @@ def main():
     per_query = {}
     total = 0.0
     for name in HEADLINE:
+        # Per-key measurement hygiene, learned from a 2.4× cross-run spread
+        # on the gram-heavy keys (winnow_neardup 5.2/8.2/12.6 s across three
+        # same-HEAD runs): (a) warm AGAIN adjacent to the timed run — by the
+        # time the timed pass reaches a late key, ~20 queries have run since
+        # its warm-up pass and its JIT/worker warmth is gone (measured:
+        # winnow_neardup 10.9 s first-call vs 2.1–3.1 s steady state in one
+        # session); (b) collect the full-GC debt the previous query left so
+        # it can't land inside this one's timed region (same rule the
+        # frontier metric below always applied). Timings therefore report
+        # per-query STEADY-STATE cost; one-off costs are the warmup_s field.
+        registry[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
         df = registry[name](spark, sf_dir)
         # Materialize EVERY output column via the noop sink. A count()
