@@ -2775,6 +2775,67 @@ SELECT p.doc_id, p.source,
 FROM packed p JOIN split s USING (doc_id)"""
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingest surface, verified as a ROUND TRIP (``sources/warc.py``):
+    serialize the documents table into Common-Crawl-style WARC segments
+    in-engine (deterministic record ids, warcinfo preamble, 8 segments via
+    ``doc_id % 8``), then parse the segments back with the distributed
+    ``mapInPandas`` reader and emit per-record facts the DuckDB oracle
+    derives from the ORIGINAL table without ever seeing WARC bytes — so a
+    hash match proves serialize→concatenate→parse is byte-faithful
+    (payload sha256 + octet length), url/timestamp fields survive the
+    header round trip, and non-response records are skipped.
+
+    Plan shape: one shuffle (the groupBy that packs segments), then the
+    parse runs one task per segment with no further exchange — the
+    Common-Crawl sharding model (a 100 TB crawl is ~72k segment files;
+    parallelism = segment count, and the parser fails loudly on truncation
+    rather than yielding partial rows)."""
+    import pandas as pd
+
+    from ..sources.warc import build_warc_segment, warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://warc.example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.timestamp_seconds(F.lit(1577836800) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.col("doc_id") % 8).alias("seg"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (u, t.to_pydatetime(), x.encode("utf-8"))
+            for u, t, x in zip(pdf["url"], pdf["warc_ts"], pdf["text"])
+        ]
+        blob = build_warc_segment(recs, f"segment-{int(pdf['seg'].iloc[0])}")
+        return pd.DataFrame({"segment": [blob]})
+
+    segments = docs.groupBy("seg").applyInPandas(_pack, schema="segment binary")
+    parsed = warc_records(segments)
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "content_type",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """SELECT
+  'https://warc.example/doc/' || doc_id AS url,
+  TIMESTAMP '2020-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+  'text/html' AS content_type,
+  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+  sha256(COALESCE(text, '')) AS payload_sha
+FROM documents"""
+
+
 _ORACLES = {
     "url_categorize_counts": SQL_URL_CATEGORIZE,
     "url_year_counts": SQL_URL_YEAR,
@@ -2847,6 +2908,7 @@ _ORACLES = {
     "corpus_prepare": _sql_corpus_prepare(),
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
 }
 
 _QUERIES = {
@@ -2926,6 +2988,7 @@ _QUERIES = {
     "corpus_prepare": q_corpus_prepare,
     "dup_span_removal": q_dup_span_removal,
     "gopher_quality": q_gopher_quality,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 

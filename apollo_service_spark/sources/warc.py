@@ -1,0 +1,190 @@
+"""WARC (Web ARChive, ISO 28500) record serialization and distributed parse.
+
+Common Crawl publishes its corpus as WARC segments — concatenated records,
+each a CRLF-terminated header block (``WARC/1.0`` + named fields +
+``Content-Length``) followed by exactly ``Content-Length`` body octets and a
+blank-line terminator.  For *response* records the body is an HTTP/1.1
+response (status line + headers + payload).  This module gives the engine a
+WARC-shaped ingest surface over the same input-table schema the rest of the
+engine consumes (``url, warc_ts, html/text``):
+
+* :func:`build_warc_record` / :func:`build_warc_segment` — deterministic
+  serializers (pure functions of the record fields; no clock, no UUIDs —
+  the record id is a sha256 of the target URI + date so the same inputs
+  always produce the same bytes).
+* :func:`parse_warc_segment` — the inverse: scan a segment blob, yield one
+  dict per *response* record (non-response records — warcinfo, request,
+  metadata — are skipped exactly as a crawler ingest does), byte-exact
+  payloads.
+* :func:`warc_records` — the Spark surface: ``mapInPandas`` over a frame of
+  ``(segment: binary)`` rows → one output row per response record
+  ``(url, warc_ts, content_type, payload)``.  One segment is one input row,
+  so parallelism = segment count — exactly how Common Crawl shards scale
+  (a 100 TB crawl is ~72k segment files; Spark schedules one task per
+  segment, no shuffle anywhere).
+
+Read path for on-disk segments: ``spark.read.format("binaryFile")`` →
+rename ``content`` to ``segment`` → :func:`warc_records`.  The gate query
+``warc_roundtrip`` (plans/queries.py) drives serialize → concatenate →
+parse end-to-end in-engine and hash-compares payload lengths/sha256 against
+a DuckDB oracle that derives them from the source table WITHOUT ever seeing
+WARC bytes — so the round trip, not just the parser, is what's verified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+
+_CRLF = b"\r\n"
+_WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _warc_date(ts: datetime) -> str:
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts.strftime(_WARC_DATE_FMT)
+
+
+def build_warc_record(
+    url: str,
+    ts: datetime,
+    payload: bytes,
+    content_type: str = "text/html",
+    status: str = "200 OK",
+) -> bytes:
+    """One WARC/1.0 *response* record: WARC header block, HTTP/1.1 response
+    block, payload, blank-line terminator.  Deterministic: the record id is
+    derived from (url, date), never from a clock or RNG."""
+    http = (
+        f"HTTP/1.1 {status}".encode() + _CRLF
+        + f"Content-Type: {content_type}".encode() + _CRLF
+        + f"Content-Length: {len(payload)}".encode() + _CRLF
+        + _CRLF
+        + payload
+    )
+    date = _warc_date(ts)
+    rec_id = hashlib.sha256(f"{url}\x00{date}".encode()).hexdigest()
+    header = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Record-ID: <urn:sha256:{rec_id}>".encode() + _CRLF
+        + f"WARC-Date: {date}".encode() + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + f"Content-Length: {len(http)}".encode() + _CRLF
+        + _CRLF
+    )
+    return header + http + _CRLF + _CRLF
+
+
+def build_warcinfo(segment_name: str) -> bytes:
+    """The warcinfo preamble record real segments carry — emitted by the
+    serializer and SKIPPED by the parser, so tests exercise the skip."""
+    body = f"software: apollo-service-spark\r\nisPartOf: {segment_name}\r\n".encode()
+    header = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: warcinfo" + _CRLF
+        + f"WARC-Record-ID: <urn:sha256:{hashlib.sha256(segment_name.encode()).hexdigest()}>".encode()
+        + _CRLF
+        + b"WARC-Date: 2020-01-01T00:00:00Z" + _CRLF
+        + b"Content-Type: application/warc-fields" + _CRLF
+        + f"Content-Length: {len(body)}".encode() + _CRLF
+        + _CRLF
+    )
+    return header + body + _CRLF + _CRLF
+
+
+def build_warc_segment(records: list, segment_name: str = "segment-0") -> bytes:
+    """warcinfo preamble + one response record per (url, ts, payload[,
+    content_type]) tuple, concatenated — the on-disk segment layout."""
+    out = [build_warcinfo(segment_name)]
+    for rec in records:
+        out.append(build_warc_record(*rec))
+    return b"".join(out)
+
+
+def parse_warc_segment(blob: bytes) -> list:
+    """Scan one segment; return a dict per *response* record:
+    ``{url, warc_ts (naive-UTC datetime), content_type, payload (bytes)}``.
+
+    Structural errors raise ``ValueError`` with the byte offset — a
+    truncated or corrupt segment must fail loudly, not yield partial rows
+    (at crawl scale a silently half-read segment is unrecoverable data
+    loss; the caller retries the whole file)."""
+    records = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header block at offset {pos}")
+        header = blob[pos:head_end].decode("utf-8", errors="strict")
+        lines = header.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"missing WARC version line at offset {pos}")
+        fields = {}
+        for line in lines[1:]:
+            key, _, value = line.partition(":")
+            fields[key.strip().lower()] = value.strip()
+        length = int(fields["content-length"])
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end + 4 > n:
+            raise ValueError(f"truncated record body at offset {body_start}")
+        if blob[body_end:body_end + 4] != _CRLF + _CRLF:
+            raise ValueError(f"missing record terminator at offset {body_end}")
+        if fields.get("warc-type") == "response":
+            body = blob[body_start:body_end]
+            http_end = body.find(_CRLF + _CRLF)
+            if http_end < 0:
+                raise ValueError(f"malformed HTTP block at offset {body_start}")
+            content_type = "application/octet-stream"
+            for line in body[:http_end].decode("utf-8").split("\r\n")[1:]:
+                key, _, value = line.partition(":")
+                if key.strip().lower() == "content-type":
+                    content_type = value.strip()
+            records.append(
+                {
+                    "url": fields["warc-target-uri"],
+                    "warc_ts": datetime.strptime(
+                        fields["warc-date"], _WARC_DATE_FMT
+                    ),
+                    "content_type": content_type,
+                    "payload": body[http_end + 4:],
+                }
+            )
+        pos = body_end + 4
+    return records
+
+
+def warc_records(segments):
+    """Distributed parse: a DataFrame with a binary ``segment`` column →
+    one row per response record ``(url, warc_ts, content_type, payload)``.
+    ``mapInPandas`` because one input row fans out to many output rows;
+    zero shuffles — each segment parses inside its own task, which is the
+    Common-Crawl sharding model (one task per segment file)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["segment"]:
+                rows.extend(parse_warc_segment(bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "content_type", "payload"]
+            )
+
+    return segments.mapInPandas(
+        gen,
+        schema="url string, warc_ts timestamp, content_type string, payload binary",
+    )
+
+
+def read_warc(spark, path: str):
+    """On-disk segments → records, via Spark's binaryFile source (each
+    ``.warc`` file is one row, hence one parse task)."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+    return warc_records(files.select(F.col("content").alias("segment")))

@@ -232,3 +232,35 @@ def test_arrow_repetition_kernel_matches_catalyst(spark):
         .collect()
     }
     assert cat == arr
+
+
+def test_arrow_repetition_kernel_mega_doc(spark):
+    """Skew guard for the Arrow path: one pathological 200k-word document
+    in a batch must produce exact values (the structure makes them
+    computable analytically) without destabilizing the worker — the
+    worst-skew story for per-doc kernels is one huge doc in its own Arrow
+    batch, and maxRecordsPerBatch only bounds ROWS, not bytes."""
+    n = 200_000
+    # 'a b a b ... a b': 2-grams alternate 'a b' (n/2 times) and
+    # 'b a' (n/2 - 1); 3-grams alternate 'a b a' and 'b a b'
+    mega = " ".join(["a", "b"] * (n // 2))
+    docs = spark.createDataFrame(
+        [(1, mega), (2, "tiny doc here")], "doc_id int, text string"
+    )
+    from apollo_service_spark.functions.udfs import repetition_stats_udf
+
+    out = {
+        r[0]: r[1]
+        for r in docs.select(
+            "doc_id", repetition_stats_udf(F.col("text")).alias("rep")
+        ).collect()
+    }
+    rep = out[1]
+    assert rep["wchars"] == n
+    assert rep["top_cnt"] == n // 2 and rep["top_g"] == "a b"
+    # dup 3-grams: 'a b a' occurs ceil((n-2)/2), 'b a b' floor((n-2)/2);
+    # each duplicate occurrence contributes len('a b a') - 2 = 3 chars
+    n3 = n - 2
+    expected_dup = ((n3 + 1) // 2 - 1) * 3 + (n3 // 2 - 1) * 3
+    assert rep["dupchars"] == expected_dup
+    assert out[2]["top_cnt"] == 1

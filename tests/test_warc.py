@@ -1,0 +1,90 @@
+"""WARC serializer/parser semantics and the distributed read path."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from apollo_service_spark.sources.warc import (
+    build_warc_record,
+    build_warc_segment,
+    build_warcinfo,
+    parse_warc_segment,
+    read_warc,
+    warc_records,
+)
+
+TS = datetime(2020, 1, 1, 12, 34, 56)
+
+
+def test_record_golden_bytes():
+    """The serializer is deterministic down to the byte: same inputs, same
+    record — including the sha256-derived record id (no clock, no RNG)."""
+    a = build_warc_record("https://x.test/p", TS, b"<html>hi</html>")
+    b = build_warc_record("https://x.test/p", TS, b"<html>hi</html>")
+    assert a == b
+    assert a.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    assert b"WARC-Target-URI: https://x.test/p\r\n" in a
+    assert b"WARC-Date: 2020-01-01T12:34:56Z\r\n" in a
+    assert a.endswith(b"<html>hi</html>\r\n\r\n")
+
+
+def test_roundtrip_multi_record_and_warcinfo_skip():
+    recs = [
+        ("https://a.test/1", TS, "héllo".encode("utf-8")),
+        ("https://a.test/2", TS, b"", "text/plain"),
+        ("https://a.test/3", TS, b"\x00\x01binary\xff"),
+    ]
+    blob = build_warc_segment(recs, "seg-7")
+    out = parse_warc_segment(blob)
+    assert [r["url"] for r in out] == [u for u, _, *_ in recs]
+    assert out[0]["payload"] == "héllo".encode("utf-8")
+    assert out[1]["payload"] == b"" and out[1]["content_type"] == "text/plain"
+    assert out[2]["payload"] == b"\x00\x01binary\xff"
+    assert all(r["warc_ts"] == TS for r in out)
+    # the warcinfo preamble parsed structurally but emitted no row
+    assert len(out) == 3
+
+
+def test_payload_may_contain_record_terminator_bytes():
+    """Content-Length framing, not delimiter scanning: a payload that
+    CONTAINS '\\r\\n\\r\\nWARC/1.0' must come back intact."""
+    evil = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\ny"
+    blob = build_warc_segment([("https://e.test/", TS, evil)])
+    out = parse_warc_segment(blob)
+    assert out[0]["payload"] == evil
+
+
+def test_truncated_segment_raises():
+    blob = build_warc_segment([("https://t.test/", TS, b"abcdef")])
+    with pytest.raises(ValueError, match="truncated|terminator"):
+        parse_warc_segment(blob[:-6])
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_warc_segment(b"WARC/1.0\r\nWARC-Type: response")
+
+
+def test_distributed_parse_and_disk_read(spark, tmp_path):
+    segs = []
+    expect = set()
+    for s in range(3):
+        recs = []
+        for i in range(4):
+            url = f"https://d.test/{s}/{i}"
+            payload = f"seg {s} doc {i}".encode()
+            recs.append((url, TS, payload))
+            expect.add((url, payload))
+        segs.append(build_warc_segment(recs, f"seg-{s}"))
+        with open(os.path.join(tmp_path, f"part-{s}.warc"), "wb") as fh:
+            fh.write(segs[-1])
+
+    df = spark.createDataFrame([(s,) for s in segs], "segment binary")
+    got = {
+        (r["url"], bytes(r["payload"])) for r in warc_records(df).collect()
+    }
+    assert got == expect
+
+    from_disk = {
+        (r["url"], bytes(r["payload"]))
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    assert from_disk == expect
