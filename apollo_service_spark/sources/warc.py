@@ -188,3 +188,58 @@ def read_warc(spark, path: str):
 
     files = spark.read.format("binaryFile").load(path)
     return warc_records(files.select(F.col("content").alias("segment")))
+
+
+def segments_from_pages(pages, n_segments: int = 8):
+    """Serialize a ``pages``-shaped frame (url, warc_ts, html, …) into WARC
+    segment blobs — the inverse of :func:`pages_from_warc`.  HTML rows
+    become ``text/html`` response records carrying the html bytes;
+    non-HTML rows (``html`` null — the corpus's fetched-but-never-expanded
+    document urls) become ``application/octet-stream`` records with an
+    empty payload, so the null/non-null distinction the engine's fetch
+    stage branches on survives the round trip.  Deterministic: segment
+    assignment is ``crc32(url) % n_segments`` and records sort by url
+    within a segment, so the same pages always produce the same bytes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("url")
+        recs = []
+        for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            if html is None:
+                recs.append((url, ts.to_pydatetime(), b"", "application/octet-stream"))
+            else:
+                recs.append((url, ts.to_pydatetime(), bytes(html), "text/html"))
+        blob = build_warc_segment(recs, f"segment-{int(pdf['seg'].iloc[0])}")
+        return pd.DataFrame({"segment": [blob]})
+
+    return (
+        pages.select(
+            "url", "warc_ts", "html",
+            (F.crc32(F.col("url")) % n_segments).alias("seg"),
+        )
+        .groupBy("seg")
+        .applyInPandas(_pack, schema="segment binary")
+    )
+
+
+def pages_from_warc(records):
+    """WARC records → the engine's ``pages`` shape (url, warc_ts, html,
+    text, lang): ``text/html`` payloads become the html column, anything
+    else becomes a null-html row (the engine fetches it, marks it
+    ``non_html``, and never expands it — exactly the corpus semantics).
+    ``text``/``lang`` are null: the engine's crawl path never reads them
+    (they exist for downstream curation, which recomputes text with the
+    extract kernel anyway), and a WARC response carries neither."""
+    from pyspark.sql import functions as F
+
+    return records.select(
+        "url",
+        "warc_ts",
+        F.when(
+            F.col("content_type").startswith("text/html"), F.col("payload")
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -88,3 +88,57 @@ def test_distributed_parse_and_disk_read(spark, tmp_path):
         for r in read_warc(spark, str(tmp_path)).collect()
     }
     assert from_disk == expect
+
+
+def test_engine_crawls_warc_backed_pages(spark, tmp_path):
+    """The capstone: serialize the crawl corpus to on-disk WARC segments,
+    read them back through binaryFile → parse → pages, and run the FULL
+    frontier engine over the WARC-backed table — the crawl log must equal
+    the parquet-backed run exactly (url, iteration, rank).  This is the
+    Common-Crawl deployment shape: the engine crawling directly over
+    segment files, no intermediate table materialization."""
+    from apollo_service_spark.operators.frontier import (
+        CrawlConfig,
+        FrontierEngine,
+        crawl_log_df,
+    )
+    from apollo_service_spark.sources.corpus import corpus_to_spark, gen_corpus
+    from apollo_service_spark.sources.storage import SnapshotStore
+    from apollo_service_spark.sources.warc import (
+        pages_from_warc,
+        segments_from_pages,
+    )
+
+    corpus = corpus_to_spark(spark, gen_corpus(n_hosts=3, n_pages=60, seed=7))
+    warc_dir = tmp_path / "segments"
+    os.makedirs(warc_dir)
+    blobs = segments_from_pages(corpus["pages"], n_segments=4).collect()
+    assert len(blobs) == 4
+    for i, row in enumerate(blobs):
+        with open(warc_dir / f"part-{i}.warc", "wb") as fh:
+            fh.write(bytes(row["segment"]))
+
+    pages_warc = pages_from_warc(read_warc(spark, str(warc_dir)))
+    # the round trip preserves the null/non-null html split exactly
+    orig = corpus["pages"]
+    assert pages_warc.filter("html IS NULL").count() == orig.filter(
+        "html IS NULL"
+    ).count()
+    assert pages_warc.count() == orig.count()
+
+    def run(pages, path):
+        store = SnapshotStore(str(path))
+        FrontierEngine(
+            spark, pages, store, CrawlConfig(),
+            robots=corpus["robots"], politeness=corpus["politeness"],
+        ).run(seeds=corpus["seeds"])
+        return {
+            (r["url"], r["iteration"], r["rank"])
+            for r in crawl_log_df(spark, store)
+            .select("url", "iteration", "rank")
+            .collect()
+        }
+
+    assert run(pages_warc, tmp_path / "warc_run") == run(
+        orig, tmp_path / "parquet_run"
+    )
