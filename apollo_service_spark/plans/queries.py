@@ -2313,6 +2313,52 @@ r0 AS (SELECT nd.id, 1.0 / nc.n AS r FROM nodes nd CROSS JOIN ncount nc),
 SELECT id AS doc_id, ROUND(r, 6) AS rank FROM {prev}"""
 
 
+def q_pagerank_schedule(spark, sf_dir):
+    """The composition the north star describes in one sentence: a
+    per-domain politeness-budget priority queue ordered by page IMPORTANCE
+    — ``operators.pagerank`` output joined onto the url frontier as the
+    ``select_batch(order=...)`` priority.  ``priority_schedule`` proves the
+    window accepts any caller order with a stand-in score; this query
+    closes the loop with the real ranker: both component operators are
+    independently gate-verified, and this verifies their composition
+    (rank join → budgeted window) end-to-end against an oracle that
+    recomposes the same SQL fragments.
+
+    Ordering is on the ROUNDED rank (6 decimals, the same grain the
+    pagerank gate compares at) with a url tie-break, so the schedule is
+    identical across engines and replayable.  Plan shape: the rank frame
+    is one extra 8-byte-key join into the same WindowGroupLimit-guarded
+    budget window — no new shuffle class at 10^10 urls."""
+    from ..operators.politeness import select_batch
+
+    ranks = q_pagerank(spark, sf_dir)
+    urls = (
+        _urls_df(spark, sf_dir)
+        .groupBy("url", "host")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    frontier = urls.join(ranks, "doc_id").select("url", "host", "rank")
+    selected, _carry = select_batch(
+        frontier,
+        politeness=None,
+        default_budget=5,
+        order=[F.col("rank").desc(), F.col("url").asc()],
+    )
+    return selected.select("host", "url", "rank")
+
+
+def _sql_pagerank_schedule() -> str:
+    return f"""{ORACLE_URLS_CTE}
+, u AS (SELECT url, host, MIN(doc_id) AS doc_id FROM parsed GROUP BY url, host),
+pr AS (SELECT * FROM ({_sql_pagerank()})),
+scored AS (SELECT u.host, u.url, pr.rank FROM u JOIN pr USING (doc_id))
+SELECT host, url, rank FROM (
+  SELECT host, url, rank,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY rank DESC, url) AS rn
+  FROM scored
+) WHERE rn <= 5"""
+
+
 # --------------------------------------------------------------------------
 # Corpus-curation tier (operators/curation.py — public-literature stages a
 # training pipeline runs between crawl and tokenization)
@@ -2909,6 +2955,7 @@ _ORACLES = {
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "pagerank_schedule": _sql_pagerank_schedule(),
 }
 
 _QUERIES = {
@@ -2989,6 +3036,7 @@ _QUERIES = {
     "dup_span_removal": q_dup_span_removal,
     "gopher_quality": q_gopher_quality,
     "warc_roundtrip": q_warc_roundtrip,
+    "pagerank_schedule": q_pagerank_schedule,
 }
 
 

@@ -514,3 +514,19 @@ def test_corpus_prepare_no_single_partition(spark):
 
     plan = _plan(em.queries()["corpus_prepare"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pagerank_schedule_keeps_partial_topk(spark):
+    """The rank-ordered composition (pagerank ⋈ frontier → budget window)
+    must not lose the WindowGroupLimit partial top-k: the rank join adds
+    one exchange but each map task still ships at most budget rows per
+    host into the window shuffle — at 10^10 urls the whole point of
+    importance-ordered scheduling is that it does NOT cost a full-frontier
+    shuffle beyond what BFS order already paid."""
+    import re
+
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pagerank_schedule"](spark, SF_DIR))
+    limits = re.findall(r"^\(\d+\) WindowGroupLimit", plan, flags=re.MULTILINE)
+    assert len(limits) == 2, plan  # partial (pre-exchange) + final
