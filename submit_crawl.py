@@ -7,7 +7,7 @@ Cluster usage (north-rule deployment shape)::
     spark-submit --py-files apollo_service_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
         submit_crawl.py \
-        --pages s3://bucket/pages_table \
+        --pages s3://bucket/pages_table \      # or --warc-dir s3://bucket/segments/ \
         --seeds s3://bucket/seeds_table \
         --store s3://bucket/crawl_state \
         [--robots ...] [--robots-bodies ...] [--sitemap-bodies ...] \
@@ -37,6 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pages")
+    parser.add_argument("--warc-dir",
+                        help="crawl directly over Common-Crawl WARC segment "
+                        "files instead of a parquet pages table (one parse "
+                        "task per segment; sources/warc.py)")
     parser.add_argument("--seeds")
     parser.add_argument("--robots",
                         help="pre-parsed rules table (host, disallow_prefix)")
@@ -84,8 +88,15 @@ def main() -> None:
         args.store = os.path.join(args.demo, "state")
         args.default_budget = 6
 
-    if not (args.pages and args.store) or (not args.resume and not args.seeds):
-        parser.error("--pages and --store required; --seeds required unless --resume")
+    if not ((args.pages or args.warc_dir) and args.store) or (
+        not args.resume and not args.seeds
+    ):
+        parser.error(
+            "--pages or --warc-dir, and --store required; "
+            "--seeds required unless --resume"
+        )
+    if args.pages and args.warc_dir:
+        parser.error("--pages and --warc-dir are mutually exclusive")
 
     n_partitions = args.n_partitions or max(
         32, spark.sparkContext.defaultParallelism * 2
@@ -100,9 +111,15 @@ def main() -> None:
         max_iterations=args.max_iterations,
         delay_budget_seconds=args.delay_budget_seconds,
     )
+    if args.warc_dir:
+        from apollo_service_spark.sources.warc import pages_from_warc, read_warc
+
+        pages = pages_from_warc(read_warc(spark, args.warc_dir))
+    else:
+        pages = spark.read.parquet(args.pages)
     engine = FrontierEngine(
         spark,
-        spark.read.parquet(args.pages),
+        pages,
         SnapshotStore(args.store),
         config,
         robots=spark.read.parquet(args.robots) if args.robots else None,
