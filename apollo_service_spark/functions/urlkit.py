@@ -156,6 +156,58 @@ def strip_fragment(url: Column) -> Column:
     return F.split_part(url, F.lit("#"), F.lit(1))
 
 
+def surt_key(url: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform) — the canonical
+    CDX-index key format Common Crawl's URL index uses (public spec,
+    iipc/webarchive-commons): scheme and userinfo dropped, host lowercased
+    and its labels REVERSED comma-joined (so one domain's pages sort
+    adjacent — the property every per-domain scan at index scale relies
+    on), ``:port`` appended after the reversed host when present, then
+    ``)`` + lowercased path + ``?`` + lowercased query when non-empty.
+
+    ``https://User@www.Example.COM:8080/A/b?Q=1``
+    → ``com,example,www:8080)/a/b?q=1``
+
+    Subset note (documented, pinned by the Python twin's fuzz test): the
+    full canonicalizer's extras — www-stripping, session-param removal,
+    %-escape normalization — are policy choices layered ON TOP of the key
+    transform and intentionally not baked in here."""
+    netloc = F.lower(F.substring_index(url_host(url), "@", -1))
+    host = F.substring_index(netloc, ":", 1)
+    port_digits = F.substring_index(netloc, ":", -1)
+    # degenerate "host:" (empty port) drops the colon, matching the
+    # urlparse-permissive twin (urlparse reports port '')
+    port = F.when(
+        netloc.contains(":") & (port_digits != ""),
+        F.concat(F.lit(":"), port_digits),
+    ).otherwise(F.lit(""))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    q = F.lower(url_query(url))
+    return F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        F.lower(url_path(url)),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def surt_key_py(url: str) -> str:
+    """Python twin of :func:`surt_key` (same urlparse-permissive parse the
+    other _py twins use) — the CDX indexer's per-record key function and
+    the fuzz oracle for the Catalyst expression."""
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    netloc = p.netloc.rpartition("@")[2].lower()
+    host, _, port = netloc.partition(":")
+    rev = ",".join(reversed(host.split(".")))
+    out = rev + (f":{port}" if port else "") + ")" + p.path.lower()
+    if p.query:
+        out += "?" + p.query.lower()
+    return out
+
+
 def canonicalize(url: Column) -> Column:
     """Lowercase scheme+host, strip fragment and default port.
 

@@ -79,6 +79,25 @@ def _urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT index keys (the CDX/Common-Crawl URL-index key transform,
+    ``urlkit.surt_key``) for every distinct url — one scan, zero Python,
+    pure string algebra inside codegen.  At index scale the property that
+    matters is the SORT ORDER this key induces (one domain's pages
+    adjacent, subdomains right after their apex) — pinned by the fuzz
+    test; this query pins the transform itself cross-engine."""
+    urls = _urls_df(spark, sf_dir).select("url").distinct()
+    return urls.select("url", urlkit.surt_key(F.col("url")).alias("surt"))
+
+
+SQL_SURT_KEYS = f"""{ORACLE_URLS_CTE}
+SELECT DISTINCT url,
+  array_to_string(list_reverse(string_split(lower(host), '.')), ',')
+    || ')' || lower(path)
+    || CASE WHEN query <> '' THEN '?' || lower(query) ELSE '' END AS surt
+FROM parsed"""
+
+
 # --------------------------------------------------------------------------
 # Crawl-domain operator queries (SURVEY.md §2.2-2.4)
 # --------------------------------------------------------------------------
@@ -2956,6 +2975,7 @@ _ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "pagerank_schedule": _sql_pagerank_schedule(),
+    "surt_keys": SQL_SURT_KEYS,
 }
 
 _QUERIES = {
@@ -3037,6 +3057,7 @@ _QUERIES = {
     "gopher_quality": q_gopher_quality,
     "warc_roundtrip": q_warc_roundtrip,
     "pagerank_schedule": q_pagerank_schedule,
+    "surt_keys": q_surt_keys,
 }
 
 

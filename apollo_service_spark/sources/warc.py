@@ -104,9 +104,12 @@ def build_warc_segment(records: list, segment_name: str = "segment-0") -> bytes:
     return b"".join(out)
 
 
-def parse_warc_segment(blob: bytes) -> list:
+def parse_warc_segment(blob: bytes, with_offsets: bool = False) -> list:
     """Scan one segment; return a dict per *response* record:
-    ``{url, warc_ts (naive-UTC datetime), content_type, payload (bytes)}``.
+    ``{url, warc_ts (naive-UTC datetime), content_type, payload (bytes)}``
+    — plus ``offset``/``length`` (record start and total size in the
+    segment, terminator included) when ``with_offsets`` is set, so a CDX
+    index built from these slices supports ranged random access.
 
     Structural errors raise ``ValueError`` with the byte offset — a
     truncated or corrupt segment must fail loudly, not yield partial rows
@@ -144,16 +147,18 @@ def parse_warc_segment(blob: bytes) -> list:
                 key, _, value = line.partition(":")
                 if key.strip().lower() == "content-type":
                     content_type = value.strip()
-            records.append(
-                {
-                    "url": fields["warc-target-uri"],
-                    "warc_ts": datetime.strptime(
-                        fields["warc-date"], _WARC_DATE_FMT
-                    ),
-                    "content_type": content_type,
-                    "payload": body[http_end + 4:],
-                }
-            )
+            rec = {
+                "url": fields["warc-target-uri"],
+                "warc_ts": datetime.strptime(
+                    fields["warc-date"], _WARC_DATE_FMT
+                ),
+                "content_type": content_type,
+                "payload": body[http_end + 4:],
+            }
+            if with_offsets:
+                rec["offset"] = pos
+                rec["length"] = body_end + 4 - pos
+            records.append(rec)
         pos = body_end + 4
     return records
 
@@ -242,4 +247,64 @@ def pages_from_warc(records):
         ).alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def cdx_index(segments):
+    """CDX-style URL index over WARC segments — the random-access map
+    Common Crawl serves as its public URL index: fetching ONE page out of
+    a 100 TB crawl is then a ranged read of ``length`` bytes at ``offset``
+    in ``filename``, never a segment scan.  Input: a frame of
+    ``(filename string, segment binary)`` rows (the binaryFile reader's
+    ``path``/``content``); output: one row per response record
+    ``(urlkey, url, warc_ts, filename, offset, length)`` where ``urlkey``
+    is the SURT transform (``urlkit.surt_key_py`` — same function the
+    Catalyst ``surt_keys`` gate query pins), so sorting the index clusters
+    each domain's pages adjacently exactly as CDX files do.  One parse
+    task per segment, zero shuffles; callers sort/partition the output as
+    their serving layout requires."""
+    import pandas as pd
+
+    from ..functions.urlkit import surt_key_py
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for fname, blob in zip(pdf["filename"], pdf["segment"]):
+                for rec in parse_warc_segment(bytes(blob), with_offsets=True):
+                    rows.append(
+                        {
+                            "urlkey": surt_key_py(rec["url"]),
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "filename": fname,
+                            "offset": rec["offset"],
+                            "length": rec["length"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "urlkey", "url", "warc_ts", "filename", "offset", "length",
+                ],
+            )
+
+    return segments.mapInPandas(
+        gen,
+        schema=(
+            "urlkey string, url string, warc_ts timestamp, "
+            "filename string, offset long, length long"
+        ),
+    )
+
+
+def read_cdx_index(spark, path: str):
+    """Index on-disk segments: binaryFile → (filename, segment) → cdx_index."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+    return cdx_index(
+        files.select(
+            F.col("path").alias("filename"), F.col("content").alias("segment")
+        )
     )

@@ -74,3 +74,37 @@ def test_fuzz_year_on_parseable(spark):
     got = df.select("url", urlkit.extract_year(F.col("url")).alias("y")).collect()
     for row in got:
         assert row["y"] == urlkit.extract_year_py(row["url"]), row["url"]
+
+
+def test_fuzz_surt_key_mirrors_agree(spark):
+    """surt_key vs surt_key_py over the adversarial corpus plus pinned
+    golden cases (port kept after the reversed host, userinfo dropped,
+    everything lowercased, query preserved lowercase)."""
+    urls = _gen_urls(seed=20260819)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        "url", urlkit.surt_key(F.col("url")).alias("surt")
+    ).collect()
+    for row in got:
+        assert row["surt"] == urlkit.surt_key_py(row["url"]), row["url"]
+    assert (
+        urlkit.surt_key_py("https://User@www.Example.COM:8080/A/b?Q=1")
+        == "com,example,www:8080)/a/b?q=1"
+    )
+    assert urlkit.surt_key_py("http://example.com/") == "com,example)/"
+    # one host's pages sort adjacent, subdomains right after the apex
+    keys = sorted(
+        urlkit.surt_key_py(u)
+        for u in [
+            "https://example.com/z",
+            "https://a.example.com/a",
+            "https://example.org/a",
+            "https://example.com/a",
+        ]
+    )
+    assert keys == [
+        "com,example)/a",
+        "com,example)/z",
+        "com,example,a)/a",
+        "org,example)/a",
+    ]

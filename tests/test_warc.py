@@ -142,3 +142,46 @@ def test_engine_crawls_warc_backed_pages(spark, tmp_path):
     assert run(pages_warc, tmp_path / "warc_run") == run(
         orig, tmp_path / "parquet_run"
     )
+
+
+def test_cdx_index_random_access(spark, tmp_path):
+    """Every CDX index row must support ranged random access: slicing
+    exactly (offset, length) bytes out of the segment file and parsing
+    THAT slice alone yields the record, byte-identical payload — the
+    one-page-from-100TB read path Common Crawl's URL index serves.  The
+    urlkey column is the SURT transform, so the sorted index clusters
+    each domain's pages adjacently."""
+    from apollo_service_spark.functions.urlkit import surt_key_py
+    from apollo_service_spark.sources.warc import read_cdx_index
+
+    blobs = {}
+    for s in range(2):
+        recs = [
+            (f"https://h{i % 3}.test/s{s}/p{i}", TS, f"payload {s}/{i}".encode())
+            for i in range(5)
+        ]
+        blob = build_warc_segment(recs, f"seg-{s}")
+        path = os.path.join(tmp_path, f"part-{s}.warc")
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        blobs[f"part-{s}.warc"] = blob
+
+    index = read_cdx_index(spark, str(tmp_path)).collect()
+    assert len(index) == 10
+    full = {
+        (name, r["url"]): r["payload"]
+        for name, blob in blobs.items()
+        for r in parse_warc_segment(blob)
+    }
+    for row in index:
+        name = row["filename"].rsplit("/", 1)[-1]
+        sliced = blobs[name][row["offset"]: row["offset"] + row["length"]]
+        recs = parse_warc_segment(sliced)
+        assert len(recs) == 1
+        assert recs[0]["url"] == row["url"]
+        assert recs[0]["payload"] == full[(name, row["url"])]
+        assert row["urlkey"] == surt_key_py(row["url"])
+    # SURT ordering clusters domains: all h0 keys sort before all h1 keys
+    keys = sorted(r["urlkey"] for r in index)
+    hosts_in_order = [k.split(")")[0] for k in keys]
+    assert hosts_in_order == sorted(hosts_in_order)
