@@ -185,3 +185,31 @@ def test_cdx_index_random_access(spark, tmp_path):
     keys = sorted(r["urlkey"] for r in index)
     hosts_in_order = [k.split(")")[0] for k in keys]
     assert hosts_in_order == sorted(hosts_in_order)
+
+
+def test_wet_roundtrip_byte_identical_extraction(spark, tmp_path):
+    """WET (the Common-Crawl extracted-text artifact): pages → extraction
+    kernel → conversion records → parse must give EXACTLY the text the
+    in-repo extractor produces per url (the BASELINE byte-identity
+    invariant, carried through serialization).  Null-html document rows
+    produce no WET record, matching the published format."""
+    from apollo_service_spark.functions.html import extract_text_only
+    from apollo_service_spark.sources.corpus import corpus_to_spark, gen_corpus
+    from apollo_service_spark.sources.warc import (
+        wet_records,
+        wet_segments_from_pages,
+    )
+
+    corpus = gen_corpus(n_hosts=3, n_pages=40, seed=5)
+    sdf = corpus_to_spark(spark, corpus)
+    segs = wet_segments_from_pages(sdf["pages"], n_segments=3)
+    got = {
+        r["url"]: r["text"] for r in wet_records(segs).collect()
+    }
+    pages_pd = corpus["pages"]
+    html_rows = pages_pd[pages_pd["html"].notna()]
+    assert len(got) == len(html_rows)
+    for _, row in html_rows.iterrows():
+        assert got[row["url"]] == extract_text_only(row["html"]), row["url"]
+    # non-HTML rows produced no record
+    assert set(got) == set(html_rows["url"])
