@@ -95,26 +95,85 @@ def build_warcinfo(segment_name: str) -> bytes:
     return header + body + _CRLF + _CRLF
 
 
-def build_warc_segment(records: list, segment_name: str = "segment-0") -> bytes:
+def build_warc_segment(
+    records: list, segment_name: str = "segment-0", compress: bool = False
+) -> bytes:
     """warcinfo preamble + one response record per (url, ts, payload[,
-    content_type]) tuple, concatenated — the on-disk segment layout."""
+    content_type]) tuple, concatenated — the on-disk segment layout.
+    ``compress=True`` produces the REAL Common-Crawl layout: one gzip
+    member per record (``.warc.gz``), deterministic (mtime pinned to 0,
+    fixed compression level), which is what makes compressed-domain
+    ranged reads — and therefore CDX offsets — possible."""
     out = [build_warcinfo(segment_name)]
     for rec in records:
         out.append(build_warc_record(*rec))
-    return b"".join(out)
+    if not compress:
+        return b"".join(out)
+    import gzip
+
+    return b"".join(
+        gzip.compress(chunk, compresslevel=6, mtime=0) for chunk in out
+    )
+
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gzip_members(blob: bytes) -> list:
+    """Split a multi-member gzip stream into ``(offset, length, data)``
+    per member — the real Common-Crawl segment layout is one gzip member
+    PER RECORD, which is exactly what makes compressed-domain ranged
+    reads possible (the CDX index points at member boundaries)."""
+    import zlib
+
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(31)  # 31 = gzip container
+        try:
+            data = d.decompress(blob[pos:])
+            while not d.eof and not d.unused_data:
+                tail = d.decompress(b"")
+                if not tail:
+                    break
+                data += tail
+            if not d.eof:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {exc}")
+        consumed = n - pos - len(d.unused_data)
+        out.append((pos, consumed, data))
+        pos += consumed
+    return out
 
 
 def parse_warc_segment(blob: bytes, with_offsets: bool = False) -> list:
     """Scan one segment; return a dict per *response* record:
     ``{url, warc_ts (naive-UTC datetime), content_type, payload (bytes)}``
-    — plus ``offset``/``length`` (record start and total size in the
-    segment, terminator included) when ``with_offsets`` is set, so a CDX
+    — plus ``offset``/``length`` when ``with_offsets`` is set, so a CDX
     index built from these slices supports ranged random access.
+
+    Accepts BOTH layouts Common Crawl uses: plain concatenated records,
+    and ``.warc.gz`` (one gzip member per record — detected by magic
+    bytes).  For gzip input, offsets/lengths are COMPRESSED-domain member
+    extents, matching real CDX semantics: slicing (offset, length) out of
+    the ``.warc.gz`` file yields a standalone gzip member this same
+    function parses.
 
     Structural errors raise ``ValueError`` with the byte offset — a
     truncated or corrupt segment must fail loudly, not yield partial rows
     (at crawl scale a silently half-read segment is unrecoverable data
     loss; the caller retries the whole file)."""
+    if blob[:2] == _GZIP_MAGIC:
+        records = []
+        for moff, mlen, data in _gzip_members(blob):
+            for rec in parse_warc_segment(data, with_offsets=False):
+                if with_offsets:
+                    rec["offset"] = moff
+                    rec["length"] = mlen
+                records.append(rec)
+        return records
     records = []
     pos = 0
     n = len(blob)

@@ -213,3 +213,51 @@ def test_wet_roundtrip_byte_identical_extraction(spark, tmp_path):
         assert got[row["url"]] == extract_text_only(row["html"]), row["url"]
     # non-HTML rows produced no record
     assert set(got) == set(html_rows["url"])
+
+
+def test_gzip_segment_roundtrip_and_compressed_cdx_offsets():
+    """The real Common-Crawl layout: .warc.gz with one gzip member per
+    record. Parsing the compressed blob must equal parsing the plain one,
+    and with_offsets must report COMPRESSED-domain member extents — slicing
+    (offset, length) out of the .warc.gz bytes yields a standalone gzip
+    member that parses to the byte-identical record (real CDX semantics)."""
+    recs = [
+        (f"https://gz.test/{i}", TS, f"payload-{i}".encode() * (i + 1))
+        for i in range(4)
+    ]
+    plain = build_warc_segment(recs, "gz-seg")
+    gz = build_warc_segment(recs, "gz-seg", compress=True)
+    assert gz[:2] == b"\x1f\x8b" and gz != plain
+
+    a = parse_warc_segment(plain)
+    b = parse_warc_segment(gz)
+    assert [(r["url"], r["payload"]) for r in a] == [
+        (r["url"], r["payload"]) for r in b
+    ]
+
+    indexed = parse_warc_segment(gz, with_offsets=True)
+    # offsets tile the compressed blob: warcinfo member + 4 record members
+    assert indexed[0]["offset"] > 0  # warcinfo member precedes
+    for rec in indexed:
+        member = gz[rec["offset"]: rec["offset"] + rec["length"]]
+        assert member[:2] == b"\x1f\x8b"
+        got = parse_warc_segment(member)
+        assert len(got) == 1
+        assert got[0]["url"] == rec["url"]
+        assert got[0]["payload"] == rec["payload"]
+    # truncation fails loudly in the compressed domain too
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc_segment(gz[:-4])
+
+
+def test_read_warc_handles_gz_files_transparently(spark, tmp_path):
+    recs = [(f"https://mix.test/{i}", TS, f"p{i}".encode()) for i in range(3)]
+    with open(os.path.join(tmp_path, "a.warc"), "wb") as fh:
+        fh.write(build_warc_segment(recs[:2], "a"))
+    with open(os.path.join(tmp_path, "b.warc.gz"), "wb") as fh:
+        fh.write(build_warc_segment(recs[2:], "b", compress=True))
+    got = {
+        (r["url"], bytes(r["payload"]))
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    assert got == {(u, p) for u, _, p in recs}
