@@ -202,9 +202,13 @@ def dup_span_stats(
         F.col(id_col).alias("id"), F.explode(grams).alias("g")
     ).select("id", F.xxhash64("g").alias("h"))
     per_gram_doc = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("occ"))
-    ndocs = per_gram_doc.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # distinct-doc count per gram as a COUNT window over h (r6, guide §2.4):
+    # the aggregate-then-join-back shape paid one more exchange plus a
+    # sort-merge join and referenced per_gram_doc from two branches; the
+    # window consumes the pre-combined frame once on the same 8-byte key.
+    nd_win = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per_doc = (
-        per_gram_doc.join(ndocs, "h")
+        per_gram_doc.withColumn("nd", nd_win)
         .groupBy("id")
         .agg(
             F.sum("occ").alias("n_grams"),
@@ -321,11 +325,22 @@ def dup_span_removal(
     their overlapping windows, so contiguous duplicated regions are
     removed in full.
 
-    Shuffle budget: two exchanges on gram hashes + one per-doc
-    reassembly reduce.  The reassembly carries one row per SURVIVING word
-    into a ``sort_array(collect_list(struct(pos, word)))`` — bounded per
-    doc by document length, the same shape any distributed text-rewrite
-    pays; there is no driver-side collection anywhere.
+    Shuffle budget (r6 shape): ONE exchange on the gram hash (a COUNT
+    window over ``h`` marks duplicated windows — the former
+    aggregate-then-join-back paid a second hash exchange and recomputed
+    the gram pipeline per branch), one per-doc reduce collecting the
+    duplicated START positions (sorted, bounded by windows per doc), and
+    one 8-byte-id join attaching the starts to the token arrays.  The
+    former per-WORD machinery — expanding every duplicated window to its
+    covered positions, a corpus-wide DISTINCT on (id, word-position), a
+    posexplode of every word, and an anti-join — shuffled ~5 rows per
+    word; reassembly is now a per-row array expression (expand starts →
+    covered set → filter the token array by index), so no per-word row
+    ever crosses the wire.  Per-doc cost of the rebuild is
+    O(words x covered) comparisons inside codegen — bounded by doc
+    length2 in the worst (fully duplicated, very long doc) case; the
+    standard mitigation if that regime matters is chunking long docs
+    upstream.  There is no driver-side collection anywhere.
 
     Output: ``(id, n_words, n_removed, text_clean)`` — one row per input
     doc; docs shorter than ``gram_words`` words pass through unchanged.
@@ -339,38 +354,36 @@ def dup_span_removal(
     pos_grams = base.select(
         "id", F.posexplode(grams).alias("pos", "g")
     ).select("id", "pos", F.xxhash64("g").alias("h"))
-    counts = pos_grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    dup_windows = pos_grams.join(
-        counts.filter(F.col("cnt") > 1), "h"
-    ).select("id", "pos")
-    covered = dup_windows.select(
-        "id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (gram_words - 1))
-        ).alias("wp"),
-    ).distinct()
-    words = base.select(
-        "id", F.posexplode(F.col("w")).alias("wp", "word")
+    cnt_win = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_starts = (
+        pos_grams.withColumn("cnt", cnt_win)
+        .filter(F.col("cnt") > 1)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
-    kept = words.join(covered, ["id", "wp"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
+    out = base.join(dup_starts, "id", "left")
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("wp", "word"))),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("text_clean"),
+                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (gram_words - 1)),
+            )
+        )
     )
-    totals = base.select("id", F.size("w").cast("bigint").alias("n_words"))
-    out = totals.join(rebuilt, "id", "left")
-    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    kept = F.filter(
+        F.col("w"), lambda x, i: ~F.array_contains(covered, i)
+    )
+    n_words = F.size("w").cast("bigint")
+    # null-text parity with the former per-word shape: a null token array
+    # contributed NO word rows there, so n_kept was 0 (not size(null))
+    n_kept = F.when(F.isnull(F.col("w")), F.lit(0).cast("bigint")).otherwise(
+        F.size(kept).cast("bigint")
+    )
     return out.select(
         "id",
-        "n_words",
-        (F.col("n_words") - n_kept).cast("bigint").alias("n_removed"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        n_words.alias("n_words"),
+        (n_words - n_kept).cast("bigint").alias("n_removed"),
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
     )
 
 

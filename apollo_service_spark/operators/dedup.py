@@ -29,7 +29,7 @@ extra jobs.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions import textstats
@@ -693,7 +693,14 @@ def winnow_fingerprints(
         )
         return pd.Series(out, index=norm.index)
 
-    _winnow = F.pandas_udf(_winnow_batch, ArrayType(LongType()))
+    # asNondeterministic (guide §4.4): the explode below makes the optimizer
+    # infer a `size(fps) > 0` filter, push it beneath the projection, and
+    # re-evaluate the UDF once for the filter and once for the projection —
+    # the whole numpy pipeline ran TWICE per row (two ArrowEvalPython nodes
+    # in the r5 plan, measured).  Marking the (pure) kernel non-deterministic
+    # forbids the duplication; the inferred filter then runs on the single
+    # evaluated column.
+    _winnow = F.pandas_udf(_winnow_batch, ArrayType(LongType())).asNondeterministic()
 
     return (
         docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fps"))
@@ -722,13 +729,28 @@ def winnow_pairs(
     if max_posting_size is not None:
         pairs = _capped_pairs(posting, ["fp"], max_posting_size, drop_observation)
     else:
+        # Collect each posting list once and expand a<b pairs in-JVM rather
+        # than self-joining the posting table (r6, guide §2.4/§3): the
+        # self-join recomputed the whole fingerprint pipeline (scan + numpy
+        # UDF + explode + distinct) once per side, and the planner — seeing
+        # only a post-UDF size guess — BROADCAST the multi-million-row
+        # posting table as the build side.  This shape computes the posting
+        # once and pays one 8-byte-key exchange; the pair volume (quadratic
+        # within a posting list either way) is unchanged, and
+        # ``max_posting_size`` above remains the production cap for
+        # boilerplate-hot fingerprints.
+        grp = posting.groupBy("fp").agg(
+            F.sort_array(F.collect_list("id")).alias("_arr")
+        )
         pairs = (
-            posting.alias("a")
-            .join(
-                posting.alias("b"),
-                (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+            grp.filter(F.size("_arr") >= 2)
+            .select(F.explode("_arr").alias("_a"), "_arr")
+            .select(
+                F.col("_a").alias("id_a"),
+                F.explode(
+                    F.filter(F.col("_arr"), lambda x: x > F.col("_a"))
+                ).alias("id_b"),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
     return (
         pairs.groupBy("id_a", "id_b")
@@ -782,9 +804,15 @@ def duplicated_line_stats(
     per_line_doc = ex.groupBy("h", "id").agg(
         F.count(F.lit(1)).alias("occ"), F.sum("lchars").alias("chars")
     )
-    ndocs = per_line_doc.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # distinct-doc count per line as a COUNT window over h (r6, guide §2.4):
+    # the former shape aggregated ndocs per h and joined it back, which cost
+    # an extra exchange + a sort-merge join AND referenced per_line_doc from
+    # two branches (each a full recompute unless runtime stage reuse fires).
+    # The window consumes the pre-combined frame once: one exchange on h,
+    # same 8-byte key, identical nd values.
+    nd_win = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per_doc = (
-        per_line_doc.join(ndocs, "h")
+        per_line_doc.withColumn("nd", nd_win)
         .groupBy("id")
         .agg(
             F.sum("occ").alias("n_lines"),

@@ -70,8 +70,10 @@ ORACLE_URLS_CTE = f"""WITH urls AS (
 )"""
 
 
-def _urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _urls_df(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=rebalance)
     return docs.select(
         "doc_id",
         F.expr(URL_SQL).alias("url"),
@@ -134,7 +136,7 @@ SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
 
 def q_url_year_counts(spark, sf_dir):
     """F11/A8-A9: year precedence (filename → query values → path) → counts."""
-    urls = _urls_df(spark, sf_dir)
+    urls = _urls_df(spark, sf_dir, rebalance=True)
     return (
         urls.select(urlkit.extract_year(F.col("url")).alias("year"))
         .groupBy("year")
@@ -201,7 +203,7 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS cnt FROM parsed GROUP BY host"""
 
 def q_url_path_prefix_counts(spark, sf_dir):
     """A3: path truncated to depth 2 → counts."""
-    urls = _urls_df(spark, sf_dir)
+    urls = _urls_df(spark, sf_dir, rebalance=True)
     return (
         urls.select(
             urlkit.path_prefix(urlkit.url_path(F.col("url")), 2).alias("path_prefix")
@@ -1261,7 +1263,7 @@ FROM documents) GROUP BY n_tokens"""
 
 def q_quality_scores(spark, sf_dir):
     """Quality-band scoring: length / punctuation / word-length heuristics."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return (
         docs.select(
             "doc_id", F.round(textstats.quality_score(F.col("text")), 4).alias("quality")
@@ -1284,7 +1286,7 @@ SQL_QUALITY = """SELECT doc_id, ROUND((
 
 def q_lang_detect(spark, sf_dir):
     """Stopword-heuristic language ID → counts per detected language."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return (
         docs.select(textstats.detect_lang(F.col("text")).alias("detected"))
         .groupBy("detected")
@@ -1331,7 +1333,7 @@ def q_repetition_stats(spark, sf_dir):
     exchange at all (the earlier explode+double-groupBy shape shuffled
     ~2 string rows per word, twice); the worst skew is one pathological
     doc, which costs its own O(W) Counter pass in its own task."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return _with_repetition_stats(docs.select("doc_id", "text")).drop("text")
 
 
@@ -1449,7 +1451,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     (lang, term); df by term after a distinct on (doc_id, term)), a
     broadcast of the 1-row corpus count, and a per-lang window over at most
     |vocab| rows — the heavy lifting is all map-side-combinable counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     words = docs.select(
         "doc_id", "lang", F.explode(textstats.tokens(F.col("text"))).alias("term")
     )
@@ -1547,7 +1549,7 @@ def q_winnow_neardup(spark, sf_dir):
     join emits 1.0M rows — 250× less — and that ratio is what survives a
     100 TB corpus, where boilerplate-hot keys are the known failure mode
     of posting-list self-joins."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     pairs = dedup.winnow_pairs(docs, k=20, window=4, min_shared=40)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -2086,7 +2088,7 @@ def q_pii_redact(spark, sf_dir):
     regex semantics, not just the counts.
 
     Plan: one scan, zero shuffles, all regexes in one codegen stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -2135,7 +2137,7 @@ def q_line_dedup(spark, sf_dir):
     """CCNet-style duplicated-line filter over the documents table:
     per-doc fraction of characters in word-lines shared with ≥1 other doc
     (see ``dedup.duplicated_line_stats`` for the shuffle-shape analysis)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return dedup.duplicated_line_stats(
         docs, words_per_line=3, max_dup_frac=0.3
     ).withColumnRenamed("id", "doc_id")
@@ -2203,7 +2205,7 @@ def q_corpus_clean(spark, sf_dir):
     repetition fracs — ride ONE scan with zero shuffles; the line-dedup
     branch is the only corpus-global state and the only join.  Nothing
     Python, nothing collected."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     base = _with_repetition_stats(
         docs.select(
             "doc_id",
@@ -2413,7 +2415,7 @@ def q_c4_line_filter(spark, sf_dir):
     punctuation rule is exercised by unit tests on literal text — the
     synthetic corpus has none).  Byte-exact reassembled `text_clean` on
     both engines.  Zero shuffles — pure per-row projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return curation.line_filter(
         docs,
         words_per_line=3,
@@ -2456,7 +2458,7 @@ def q_dup_span_stats(spark, sf_dir):
     verbatim with another doc; drop above 20% coverage.  Inverted-index
     shape with 8-byte keys and map-side pre-combine (see
     `curation.dup_span_stats`)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return curation.dup_span_stats(
         docs, gram_words=4, max_dup_frac=0.2
     ).withColumnRenamed("id", "doc_id")
@@ -2489,7 +2491,7 @@ def q_dup_span_removal(spark, sf_dir):
     4-word window occurring more than once corpus-wide (cross-doc or
     within-doc) is deleted; the cleaned text is reassembled byte-exactly
     on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return curation.dup_span_removal(docs, gram_words=4).withColumnRenamed(
         "id", "doc_id"
     )
@@ -2548,7 +2550,7 @@ def q_pack_sequences(spark, sf_dir):
     (no Exchange SinglePartition — plan-guarded), then each doc's chunk
     span as pure arithmetic.  The oracle runs the naive single-window
     SUM OVER — identical numbers, the plan is the difference."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return curation.pack_sequences(
         docs, seq_len=128, cleanup=_drain(_PACK_DEFERRED)
     ).withColumnRenamed("id", "doc_id")
@@ -2574,7 +2576,7 @@ def q_decontaminate(spark, sf_dir):
     != 0) flagged when they share any 4-word window with the "benchmark"
     docs (doc_id % 50 == 0).  Broadcast probe of the benchmark gram set +
     one map-side-combinable reduce per doc — plan-guarded."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return curation.decontaminate(
@@ -2637,7 +2639,7 @@ def q_quality_tiers(spark, sf_dir):
     """CCNet head/middle/tail tiers over the verified quality score: exact
     global rank (distributed, no single-partition exchange) cut into
     thirds with pinned floor arithmetic both engines run verbatim."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     scored = docs.select(
         F.col("doc_id").alias("id"),
         F.round(textstats.quality_score(F.col("text")), 4).alias("quality"),
@@ -2664,7 +2666,7 @@ def q_gopher_quality(spark, sf_dir):
     """The full Gopher document-quality rule set (Rae et al. 2021 App.
     A1.1) as seven named boolean rules + the conjunction — one projection,
     zero shuffles (`textstats.gopher_quality_flags`)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     flags = textstats.gopher_quality_flags(F.col("text"))
     keep = None
     for c in flags.values():
@@ -2765,7 +2767,7 @@ def q_corpus_prepare(spark, sf_dir):
         "doc_id", F.col("keep").alias("keep_spans")
     )
     decon = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     cleanup = _drain(_PREPARE_DEFERRED)
     survivors = (
         docs.join(clean, "doc_id")

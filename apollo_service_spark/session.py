@@ -27,10 +27,21 @@ def build_session(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = cpus if n == "*" else int(n)
 
+    # Input split sizing (guide §6): this engine's scans feed compute-dense
+    # text projections (regex tiers, Catalyst folds, Arrow kernels), so
+    # smaller splits keep every core busy long before the 128 MB default
+    # would.  16 MB costs nothing in local mode (task dispatch is ~ms) and
+    # still yields ≤ 8 tasks/GB; a pure-I/O deployment at cluster scale
+    # should raise this back to 128m-1g via the env knob.  Row-group
+    # granularity still bounds real splits — sources/tables.py rebalances
+    # the genuinely unsplittable small files.
+    max_partition_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
