@@ -362,16 +362,16 @@ def dup_span_removal(
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
     out = base.join(dup_starts, "id", "left")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, s + (gram_words - 1)),
-            )
-        )
-    )
+    # a word at index i is covered iff some duplicated window starts in
+    # [i-gram_words+1, i]; tested with EXISTS over the (small) starts array
+    # directly — materializing the expanded covered-position array first
+    # (flatten + array_distinct per row) measured 3x slower at sf1-shape
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
     kept = F.filter(
-        F.col("w"), lambda x, i: ~F.array_contains(covered, i)
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            starts, lambda s: (s <= i) & (i <= s + (gram_words - 1))
+        ),
     )
     n_words = F.size("w").cast("bigint")
     # null-text parity with the former per-word shape: a null token array
@@ -532,6 +532,79 @@ def span_contamination_fused(
     )
     base = docs.filter(~bench_filter).select(F.col(id_col).alias("id"))
     joined = base.join(spans, "id", "left")
+    frac = F.coalesce(
+        F.col("n_dup_grams") / F.nullif(F.col("n_grams"), F.lit(0)), F.lit(0.0)
+    )
+    return joined.select(
+        "id",
+        (frac <= max_dup_frac).alias("keep_spans"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def span_decon_flags(
+    docs: DataFrame,
+    bench_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_words: int = 4,
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """One-pass ``keep_spans`` + ``contaminated`` flags for the non-benchmark
+    docs — the composition :func:`dup_span_stats` ∘ :func:`decontaminate`
+    computes, from a SINGLE gram explode and with no persist barrier (r6).
+
+    :func:`span_contamination_fused` fuses the same pair through a persisted
+    pre-combined frame; that cache materialization barrier measured SLOWER
+    than the unfused composition on short-doc corpora twice (r5 and again
+    after the r6 scan rebalance: 15.4 s vs 13.3 s at sf1-shape).  This
+    variant needs no cache at all: both the distinct-doc count and the
+    benchmark-membership marker are WINDOW aggregates over the same gram
+    hash — ``nd = COUNT(*) OVER (PARTITION BY h)`` and
+    ``ndb = SUM(is_bench) OVER (PARTITION BY h)`` share one window — so the
+    plan is one explode + three 8-byte-key exchanges where the composition
+    paid three explodes (spans corpus, decon corpus, benchmark) and five.
+
+    Semantics are exactly the composed operators' (gate-verified through
+    ``corpus_prepare``): span duplication counts distinct-doc sharing over
+    ALL documents (benchmark included); contamination marks a train doc
+    when any of its windows occurs anywhere in the benchmark; gram-less
+    docs come back ``keep_spans=true, contaminated=false``.
+
+    Output: ``(id, keep_spans, contaminated)`` — non-benchmark docs only.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = textstats.window_join(w, gram_words, stride=1, keep_partial=False)
+    per = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            bench_filter.alias("is_bench"),
+            F.explode(grams).alias("g"),
+        )
+        .select("id", "is_bench", F.xxhash64("g").alias("h"))
+        .groupBy("h", "id", "is_bench")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    wh = Window.partitionBy("h")
+    train = (
+        per.withColumn("nd", F.count(F.lit(1)).over(wh))
+        .withColumn(
+            "ndb",
+            F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).over(wh),
+        )
+        .filter(~F.col("is_bench"))
+    )
+    per_doc = train.groupBy("id").agg(
+        F.sum("occ").alias("n_grams"),
+        F.sum(
+            F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0))
+        ).alias("n_dup_grams"),
+        F.sum(
+            F.when(F.col("ndb") > 0, F.col("occ")).otherwise(F.lit(0))
+        ).alias("n_hit_grams"),
+    )
+    base = docs.filter(~bench_filter).select(F.col(id_col).alias("id"))
+    joined = base.join(per_doc, "id", "left")
     frac = F.coalesce(
         F.col("n_dup_grams") / F.nullif(F.col("n_grams"), F.lit(0)), F.lit(0.0)
     )

@@ -646,6 +646,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     2003): the polynomial hash ``Σ c[i+j]·B^(k−1−j) mod 2^61−1`` of every
@@ -702,11 +703,16 @@ def winnow_fingerprints(
     # evaluated column.
     _winnow = F.pandas_udf(_winnow_batch, ArrayType(LongType())).asNondeterministic()
 
-    return (
-        docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fps"))
-        .select("id", F.explode("fps").alias("fp"))
-        .distinct()
-    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fps")
+    ).select("id", F.explode("fps").alias("fp"))
+    if not distinct:
+        # the kernel already dedupes fingerprints per doc (pd.unique), so
+        # (id, fp) rows are distinct whenever ids are unique; consumers that
+        # fold their own dedup into a downstream aggregate (winnow_pairs'
+        # collect_set) skip this exchange entirely (r6)
+        return exploded
+    return exploded.distinct()
 
 
 def winnow_pairs(
@@ -725,10 +731,13 @@ def winnow_pairs(
     (opt-in) drops boilerplate fingerprints shared by more than the cap,
     observed via ``drop_observation`` — dropping can only UNDER-count
     ``n_shared``, the same conservative trade as the n-gram posting cap."""
-    posting = winnow_fingerprints(docs, id_col, text_col, k, window)
     if max_posting_size is not None:
+        posting = winnow_fingerprints(docs, id_col, text_col, k, window)
         pairs = _capped_pairs(posting, ["fp"], max_posting_size, drop_observation)
     else:
+        posting = winnow_fingerprints(
+            docs, id_col, text_col, k, window, distinct=False
+        )
         # Collect each posting list once and expand a<b pairs in-JVM rather
         # than self-joining the posting table (r6, guide §2.4/§3): the
         # self-join recomputed the whole fingerprint pipeline (scan + numpy
@@ -739,8 +748,10 @@ def winnow_pairs(
         # within a posting list either way) is unchanged, and
         # ``max_posting_size`` above remains the production cap for
         # boilerplate-hot fingerprints.
+        # collect_set dedupes (fp, id) inside this aggregate, so the
+        # posting needs no standalone distinct exchange upstream
         grp = posting.groupBy("fp").agg(
-            F.sort_array(F.collect_list("id")).alias("_arr")
+            F.sort_array(F.collect_set("id")).alias("_arr")
         )
         pairs = (
             grp.filter(F.size("_arr") >= 2)

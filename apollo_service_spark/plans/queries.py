@@ -2752,27 +2752,28 @@ def q_corpus_prepare(spark, sf_dir):
     clean = q_corpus_clean(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_clean")
     )
-    # Span coverage and decontamination stay as SEPARATE pipelined
-    # branches, deliberately: a fused single-gram-pass variant exists
-    # (curation.span_contamination_fused — one explode + one persisted
-    # (h, id) frame serving all three consumers) and was A/B-measured
-    # against this composition at sf0.1 with full materialization: the
-    # fusion LOST ~1.7x (10-12 s vs 6.5 s warm) — the cache
-    # materialization barrier plus the AQE restrictions on cached plans
-    # cost more than re-exploding these short (30-60 word) docs saves.
-    # On long-document corpora, where tokenize+explode dominates the
-    # scan, the trade reverses; the fused operator is kept available and
-    # plan-guarded for that regime.
-    spans = q_dup_span_stats(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_spans")
-    )
-    decon = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    # Span coverage + decontamination come from ONE gram pipeline
+    # (curation.span_decon_flags, r6): the distinct-doc count and the
+    # benchmark-membership marker are two window aggregates over the same
+    # gram hash, so the pair costs one explode + three 8-byte-key
+    # exchanges where the r5 composition paid three explodes and five.
+    # The PERSIST-based fusion (curation.span_contamination_fused) was
+    # A/B-measured and LOST twice — r5 pre-rebalance (~1.7x) and again
+    # post-rebalance (15.4 s vs 13.3 s at sf1-shape): the cache
+    # materialization barrier plus AQE's restrictions on cached plans
+    # cost more than re-exploding short docs saves.  The window form
+    # fuses with NO cache, so it keeps the pipelined shape AND the single
+    # tokenization; produced rows verified identical (gate + set-equality
+    # A/B).  Flags are emitted for non-benchmark docs only — exactly the
+    # set the former inner decon join kept.
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    flags = curation.span_decon_flags(
+        docs, F.col("doc_id") % 50 == 0, gram_words=4, max_dup_frac=0.2
+    ).withColumnRenamed("id", "doc_id")
     cleanup = _drain(_PREPARE_DEFERRED)
     survivors = (
         docs.join(clean, "doc_id")
-        .join(spans, "doc_id")
-        .join(decon, "doc_id")  # inner: benchmark docs (% 50 == 0) drop out
+        .join(flags, "doc_id")  # inner: benchmark docs (% 50 == 0) drop out
         .filter(
             F.col("keep_clean") & F.col("keep_spans") & ~F.col("contaminated")
         )
