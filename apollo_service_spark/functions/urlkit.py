@@ -173,14 +173,34 @@ def surt_key(url: Column) -> Column:
     %-escape normalization — are policy choices layered ON TOP of the key
     transform and intentionally not baked in here."""
     netloc = F.lower(F.substring_index(url_host(url), "@", -1))
-    host = F.substring_index(netloc, ":", 1)
-    port_digits = F.substring_index(netloc, ":", -1)
+    # bracketed IPv6 literals ("[::1]:8080") carry colons INSIDE the host:
+    # split host/port at the closing bracket, not at a colon (ADVICE r5 —
+    # the colon-split Catalyst form and the first-colon Python twin
+    # diverged on every IPv6 url).  A bracket with no "]" keeps the whole
+    # netloc as host (no port), in both twins.
+    br_end = F.locate("]", netloc)  # 1-based, 0 when absent
+    is_br = netloc.startswith("[") & (br_end > 0)
+    plain_host = F.substring_index(netloc, ":", 1)
+    host = F.when(
+        netloc.startswith("["),
+        F.when(is_br, F.substr(netloc, F.lit(1), br_end)).otherwise(netloc),
+    ).otherwise(plain_host)
+    br_rest = F.substr(netloc, br_end + F.lit(1), F.length(netloc))
+    plain_port_digits = F.substring_index(netloc, ":", -1)
     # degenerate "host:" (empty port) drops the colon, matching the
     # urlparse-permissive twin (urlparse reports port '')
     port = F.when(
-        netloc.contains(":") & (port_digits != ""),
-        F.concat(F.lit(":"), port_digits),
-    ).otherwise(F.lit(""))
+        netloc.startswith("["),
+        F.when(
+            is_br & br_rest.startswith(":") & (F.length(br_rest) > 1),
+            br_rest,
+        ).otherwise(F.lit("")),
+    ).otherwise(
+        F.when(
+            netloc.contains(":") & (plain_port_digits != ""),
+            F.concat(F.lit(":"), plain_port_digits),
+        ).otherwise(F.lit(""))
+    )
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     q = F.lower(url_query(url))
     return F.concat(
@@ -200,7 +220,16 @@ def surt_key_py(url: str) -> str:
 
     p = urlparse(url)
     netloc = p.netloc.rpartition("@")[2].lower()
-    host, _, port = netloc.partition(":")
+    if netloc.startswith("["):
+        i = netloc.find("]")
+        if i < 0:
+            host, port = netloc, ""
+        else:
+            host = netloc[: i + 1]
+            rest = netloc[i + 1 :]
+            port = rest[1:] if rest.startswith(":") else ""
+    else:
+        host, _, port = netloc.partition(":")
     rev = ",".join(reversed(host.split(".")))
     out = rev + (f":{port}" if port else "") + ")" + p.path.lower()
     if p.query:

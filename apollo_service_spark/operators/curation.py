@@ -683,6 +683,11 @@ def quality_tiers(
 
     Output: ``(id, score_col, rank, tier, tier_label)``.
     """
+    if len(labels) < n_tiers:
+        raise ValueError(
+            f"quality_tiers needs a label per tier: {len(labels)} labels "
+            f"for n_tiers={n_tiers}"
+        )
     ranked = global_row_number(
         scored.select(F.col(id_col).alias("id"), score_col),
         order_cols=[F.col(score_col).desc(), F.col("id")],

@@ -1752,7 +1752,17 @@ def q_cluster_greedy(spark, sf_dir):
     runs here — merges, ids, orderings — and the query emits the invariant
     the partition property makes exact: per-domain Σ url_count must equal
     the domain's distinct-url count, which DuckDB computes independently."""
-    urls = _urls_df(spark, sf_dir).dropDuplicates(["url"]).select("url")
+    # The explicit repartition undoes AQE's coalescing of the tiny distinct
+    # shuffle (1-3 partitions at sf1), which otherwise serializes the
+    # host/path parsing projection AND the per-domain pandas merge feed
+    # (r6; measured ~-1 s — a session-wide minPartitionSize floor bought the
+    # same here but cost more on the line/gram pipelines, see session.py).
+    urls = (
+        _urls_df(spark, sf_dir)
+        .dropDuplicates(["url"])
+        .select("url")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # Deferred cleanup of the domain-id ranker's persisted intermediate:
     # frames registered by the PREVIOUS invocation are released here, and
     # this invocation's frames are registered for the next one. Returning

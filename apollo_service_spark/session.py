@@ -44,6 +44,12 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r6, measured): lowering coalescePartitions.minPartitionSize
+        # to 64k (parallelism-first coalescing for small shuffles) was A/B
+        # tested across the suite — it bought ~1 s on cluster_greedy (whose
+        # post-distinct projection AQE squeezes to 1-3 partitions) but cost
+        # ~0.5-0.8 s EACH on the line/gram pipelines, net negative.  The
+        # default stays; cluster_greedy fixes its own coalescing locally.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

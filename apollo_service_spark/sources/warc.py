@@ -202,7 +202,12 @@ def parse_warc_segment(blob: bytes, with_offsets: bool = False) -> list:
             if http_end < 0:
                 raise ValueError(f"malformed HTTP block at offset {body_start}")
             content_type = "application/octet-stream"
-            for line in body[:http_end].decode("utf-8").split("\r\n")[1:]:
+            # HTTP headers are raw octets in the wild (ISO 28500 only
+            # requires UTF-8 for WARC headers): real Common-Crawl records
+            # carry Latin-1 header bytes, and a strict decode would kill
+            # the whole segment task (ADVICE r5).  latin-1 is lossless on
+            # arbitrary bytes, so parsing stays deterministic.
+            for line in body[:http_end].decode("latin-1").split("\r\n")[1:]:
                 key, _, value = line.partition(":")
                 if key.strip().lower() == "content-type":
                     content_type = value.strip()

@@ -108,3 +108,26 @@ def test_fuzz_surt_key_mirrors_agree(spark):
         "com,example,a)/a",
         "org,example)/a",
     ]
+
+
+def test_surt_key_ipv6_bracketed_hosts_agree(spark):
+    """Bracketed IPv6 literals carry colons inside the host: both twins
+    must split host/port at the closing bracket (ADVICE r5 — the
+    colon-split forms diverged on every IPv6 url).  Cases must be
+    urlparse-valid; malformed brackets raise in urlparse itself and are
+    outside the twin contract."""
+    urls = [
+        "https://[::1]:8080/x",
+        "https://[::1]/x",
+        "https://[2001:db8::1]:443/A/b?Q=1",
+        "https://user@[::1]:8080/p",
+        "https://h.com:8080/x",
+        "https://h.com:/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        "url", urlkit.surt_key(F.col("url")).alias("surt")
+    ).collect()
+    for row in got:
+        assert row["surt"] == urlkit.surt_key_py(row["url"]), row["url"]
+    assert urlkit.surt_key_py("https://[::1]:8080/x") == "[::1]:8080)/x"
