@@ -50,7 +50,13 @@ def _canon(cols, rows):
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = build_session(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -62,6 +68,7 @@ def main():
         print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
         sys.exit(2)
     bad = []
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -81,6 +88,15 @@ def main():
             ok_schema = sc == oc
             ok_hash = sr == orr
             status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            # the driver's CORRECTNESS_r*.json row schema, verbatim
+            results[name] = {
+                "rows_match": ok_rows,
+                "schema_match": ok_schema,
+                "hash_match": ok_hash,
+                "spark_rows": len(sr),
+                "oracle_rows": len(orr),
+                "err": None,
+            }
             if status == "FAIL":
                 bad.append(name)
                 detail = {
@@ -97,7 +113,19 @@ def main():
                 print(f"{name}: OK ({len(sr)} rows)")
         except Exception as e:  # noqa: BLE001
             bad.append(name)
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}",
+            }
             print(f"{name}: ERR {type(e).__name__}: {e}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(bad)} failures" + (f": {bad}" if bad else ""))
     spark.stop()
     sys.exit(1 if bad else 0)
