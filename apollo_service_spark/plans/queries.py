@@ -2222,7 +2222,13 @@ def q_corpus_clean(spark, sf_dir):
     repetition fracs — ride ONE scan with zero shuffles; the line-dedup
     branch is the only corpus-global state and the only join.  Nothing
     Python, nothing collected."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return _corpus_clean_from(load_table(spark, sf_dir, "documents", rebalance=True))
+
+
+def _corpus_clean_from(docs):
+    """corpus_clean over a caller-supplied documents frame — the single
+    source of the clean logic, so ``q_corpus_prepare`` can feed it the
+    SHARED cached scan (r6) without duplicating semantics."""
     base = _with_repetition_stats(
         docs.select(
             "doc_id",
@@ -2236,7 +2242,9 @@ def q_corpus_clean(spark, sf_dir):
             ).cast("long").alias("n_pii"),
         )
     ).select("doc_id", "lang", "quality", "n_pii", F.col("keep").alias("keep_repetition"))
-    lines = q_line_dedup(spark, sf_dir).select(
+    lines = dedup.duplicated_line_stats(
+        docs, words_per_line=3, max_dup_frac=0.3
+    ).withColumnRenamed("id", "doc_id").select(
         "doc_id", F.col("keep").alias("keep_lines")
     )
     # the line branch drops wordless docs (explode of an empty lines array) —
@@ -2766,7 +2774,18 @@ def q_corpus_prepare(spark, sf_dir):
     ones (CCNet 0.3, Lee-style 0.2).  The bench timing at sf0.1 still
     exercises every upstream stage at full volume.
     """
-    clean = q_corpus_clean(spark, sf_dir).select(
+    # One shared LAZY scan frame feeds every branch.  Persisting it was
+    # A/B-measured and REJECTED (the third cache-based negative result this
+    # round): gc-bracketed interleaved runs at sf1-shape gave 5.2-5.4 s
+    # uncached vs 8.4-10.9 s with the docs frame cached — the
+    # unpersist/refill cycle plus AQE's restrictions on InMemoryRelation
+    # plans cost far more than the three duplicated scan+rebalance stages
+    # they replace (an earlier non-interleaved A/B that favored the cache
+    # was ordering-biased).  Catalyst clones the lazy subtree per branch;
+    # that duplication is the cheap side of this trade.
+    cleanup = _drain(_PREPARE_DEFERRED)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    clean = _corpus_clean_from(docs).select(
         "doc_id", F.col("keep").alias("keep_clean")
     )
     # Span coverage + decontamination come from ONE gram pipeline
@@ -2783,11 +2802,9 @@ def q_corpus_prepare(spark, sf_dir):
     # tokenization; produced rows verified identical (gate + set-equality
     # A/B).  Flags are emitted for non-benchmark docs only — exactly the
     # set the former inner decon join kept.
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     flags = curation.span_decon_flags(
         docs, F.col("doc_id") % 50 == 0, gram_words=4, max_dup_frac=0.2
     ).withColumnRenamed("id", "doc_id")
-    cleanup = _drain(_PREPARE_DEFERRED)
     survivors = (
         docs.join(clean, "doc_id")
         .join(flags, "doc_id")  # inner: benchmark docs (% 50 == 0) drop out
