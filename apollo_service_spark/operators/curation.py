@@ -240,6 +240,7 @@ def pack_sequences(
     seq_len: int = 128,
     n_partitions: int = 32,
     cleanup: list | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing assignment (Brown et al. 2020
     App. B): documents are laid end-to-end on one token tape in ``id_col``
@@ -269,12 +270,23 @@ def pack_sequences(
 
     Docs with zero tokens occupy no tape: their chunk bounds are NULL.
 
+    ``tokens_col`` (opt-in) names an already-computed token-count column on
+    ``docs`` — callers that fork one narrow persisted ``(id, count)`` frame
+    to several consumers (``q_corpus_prepare``) pass it so the tape math
+    consumes the shared frame instead of re-tokenizing ``text_col``.
+
     Output: ``(id, n_tokens, tok_start, chunk_first, chunk_last)``.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        textstats.token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-    )
+    if tokens_col is not None:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            textstats.token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
     summed = global_running_sum(
         toks,
         order_cols=["id"],

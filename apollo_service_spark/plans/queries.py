@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2817,11 +2818,36 @@ def q_corpus_prepare(spark, sf_dir):
         key_col="source",
         quota=20,
     )
+    # Fork barrier (r6 final): BOTH remaining consumers — the split
+    # projection and the packer — sit on quota's lineage, and their join
+    # re-evaluates the ENTIRE upstream (scan → clean → flags → joins →
+    # quota window) once per side: measured 4.9 s per evaluation vs 8.3 s
+    # for the whole query at sf1-shape, i.e. runtime exchange reuse
+    # recovers only a fraction (most subtrees canonicalize unequal — the
+    # branches prune different columns).  Persisting the NARROW post-quota
+    # projection (id, source, token count — no text) truncates the second
+    # evaluation for the price of a barrier this plan already pays:
+    # global_running_sum persists its same-cardinality range-partitioned
+    # frame one step downstream anyway.  This is the inverse trade of the
+    # three REJECTED caches this round (wide frames, cheap upstreams —
+    # see the scan-persist note above): here the upstream is the expensive
+    # thing and the cached rows are ≤ quota x n_sources metadata.
+    # Measured (bench_extra medians, same host/session conditions):
+    # corpus_prepare 8.46 → 6.46 s at sf1-shape, gate green.
+    narrow = (
+        quota.select(
+            "doc_id",
+            "source",
+            textstats.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cleanup.append(narrow)
     packed = curation.pack_sequences(
-        quota, seq_len=128, cleanup=cleanup
+        narrow, seq_len=128, cleanup=cleanup, tokens_col="n_tokens"
     ).withColumnRenamed("id", "doc_id")
     return (
-        quota.select(
+        narrow.select(
             "doc_id",
             "source",
             sampling.split_label(

@@ -185,6 +185,38 @@ def test_pack_sequences_spans_and_empty_doc(spark):
     assert (out[4].tok_start, out[4].chunk_first, out[4].chunk_last) == (15, 1, 3)
 
 
+def test_pack_sequences_tokens_col_matches_text_path(spark):
+    """The ``tokens_col`` fast path (q_corpus_prepare's persisted narrow
+    fork, r6) must produce the identical packing assignment as the
+    text-tokenizing default — same tape, same chunk bounds, including the
+    zero-token NULL-span doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10)),
+            (2, ""),
+            (3, " ".join(["w"] * 5)),
+            (4, " ".join(["w"] * 30)),
+        ],
+        "doc_id long, text string",
+    )
+    from apollo_service_spark.functions import textstats
+
+    pre = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("bigint").alias("nt"),
+    )
+    via_text = {
+        tuple(r) for r in curation.pack_sequences(docs, seq_len=12).collect()
+    }
+    via_col = {
+        tuple(r)
+        for r in curation.pack_sequences(
+            pre, seq_len=12, tokens_col="nt"
+        ).collect()
+    }
+    assert via_text == via_col
+
+
 # -------------------------------------------------------------- blocklist
 
 
